@@ -1,0 +1,79 @@
+"""Checkpoint / resume.
+
+The reference's `torch.save('checkpoints/<name>_<epoch>_net_G.t7', ...)` is
+committed but disabled (train.lua:297-299); the rebuild makes per-epoch
+checkpoints of G/D params AND both Adam states real, with resume (SURVEY.md §5
+checkpoint row).  Format: a single .npz of flattened pytree leaves keyed by
+tree path — dependency-free, host-portable, and loadable without the model.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import numpy as np
+
+from .step import TrainState
+
+_SAFE = re.compile(r"[^A-Za-z0-9_.-]+")
+
+
+def _flatten_with_paths(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(_SAFE.sub("_", str(p)) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def checkpoint_path(directory, name, epoch, net):
+    # mirrors 'checkpoints/<name>_<epoch>_net_G.t7' naming
+    return os.path.join(directory, f"{name}_{epoch}_net_{net}.npz")
+
+
+def save_checkpoint(directory, name, epoch, state: TrainState):
+    os.makedirs(directory, exist_ok=True)
+    g = {"params": state.g_params, "state": state.g_state, "opt": state.g_opt}
+    d = {"params": state.d_params, "state": state.d_state, "opt": state.d_opt}
+    for net, tree in (("G", g), ("D", d)):
+        np.savez(checkpoint_path(directory, name, epoch, net),
+                 **_flatten_with_paths(tree))
+    return epoch
+
+
+def load_checkpoint(directory, name, epoch, template: TrainState) -> TrainState:
+    """Restore into the (freshly initialized) template's tree structure."""
+    new = {}
+    for net, tree in (("G", {"params": template.g_params,
+                             "state": template.g_state,
+                             "opt": template.g_opt}),
+                      ("D", {"params": template.d_params,
+                             "state": template.d_state,
+                             "opt": template.d_opt})):
+        data = np.load(checkpoint_path(directory, name, epoch, net))
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        leaves = []
+        for path, leaf in flat:
+            key = "/".join(_SAFE.sub("_", str(p)) for p in path)
+            arr = data[key]
+            if arr.shape != np.shape(leaf):
+                raise ValueError(f"shape mismatch for {key}: "
+                                 f"{arr.shape} vs {np.shape(leaf)}")
+            leaves.append(arr.astype(np.asarray(leaf).dtype))
+        new[net] = jax.tree_util.tree_unflatten(treedef, leaves)
+    return TrainState(
+        g_params=new["G"]["params"], g_state=new["G"]["state"], g_opt=new["G"]["opt"],
+        d_params=new["D"]["params"], d_state=new["D"]["state"], d_opt=new["D"]["opt"],
+    )
+
+
+def latest_epoch(directory, name):
+    if not os.path.isdir(directory):
+        return None
+    pat = re.compile(re.escape(name) + r"_(\d+)_net_G\.npz$")
+    epochs = [int(m.group(1)) for f in os.listdir(directory)
+              if (m := pat.match(f))]
+    return max(epochs) if epochs else None

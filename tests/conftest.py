@@ -1,0 +1,28 @@
+"""Tests run on a virtual 8-device CPU mesh so DP/psum paths execute without
+real TPUs (SURVEY.md §4: multi-chip tests via host-platform device count).
+
+NOTE: the axon TPU plugin force-prepends itself to JAX_PLATFORMS at import
+time, so env vars alone don't pin the platform — we must override the jax
+config after import (before any backend initialization).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_repo, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import sys
+
+sys.path.insert(0, _repo)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
