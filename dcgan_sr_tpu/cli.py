@@ -1,0 +1,214 @@
+"""CLI: `python train.py --config <variant>` — the seven entry scripts, unified.
+
+Reproduces the reference's L6 layer (SURVEY.md §1): config with env-var
+overrides, data pipeline selection, training loop with the reference log line,
+end-of-run eval (PSNR/SSIM vs the bilinear control) and sample dumps through
+the min-max display normalizer.
+
+Data: `--data-root` points at CelebA (`.../img_align_celeba/Img`); without it
+(or with --synthetic) a deterministic procedural image source stands in, so
+every variant runs end-to-end on any machine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .core import get_config
+from .data import FolderDataset, IndexedCelebA, PrefetchLoader, SyntheticImages
+from .evaluation import evaluate_slice
+from .image import box_downsample2, resize_bilinear
+from .image.io import save_display
+from .image.ops import rgb2gray
+from .infer.tiled import make_generator_fn, sr_full_image, sr_overlap_image
+from .metrics import cal_psnr, cal_ssim
+from .parallel import build_dp_train_step, create_mesh, shard_batch
+from .train import build_train_step, init_train_state, train_epochs
+from .train.checkpoint import latest_epoch, load_checkpoint
+
+
+def build_data(cfg, args):
+    """Returns (loader, batch_fn(epoch, step) -> (step_batch, nc, hw, hw))."""
+    if cfg.dataset == "folder" and not args.synthetic:
+        root = args.data_root or os.environ.get(
+            "DATA_ROOT", "/CelebA/Img/img_align_celeba")
+        if os.path.isdir(root):
+            ds = FolderDataset(root, cfg.loadSize, cfg.fineSize, cfg.nc,
+                               verbose=True)
+            loader = PrefetchLoader(lambda rng: ds.sample(cfg.batchSize, rng),
+                                    n_threads=cfg.nThreads,
+                                    manual_seed=cfg.manualSeed or 0)
+
+            def batch_fn(epoch, i):
+                rgb = loader.get_batch()  # (B, 3, H, W) in [-1, 1]
+                if cfg.nc == 1:
+                    return np.asarray(rgb2gray(rgb))[:, None]
+                return rgb
+            return loader, batch_fn
+        print(f"DATA_ROOT {root} not found; falling back to synthetic data")
+
+    # indexed / synthetic path (sequential file order like train-gray-3)
+    if args.synthetic or cfg.dataset == "synthetic":
+        src = SyntheticImages(cfg.fineSize, nc=1 if cfg.nc == 1 else cfg.nc,
+                              seed=cfg.manualSeed or 1234)
+    else:
+        route = args.data_root or IndexedCelebA.__init__.__defaults__[0]
+        src = IndexedCelebA(route, cfg.fineSize, nc=cfg.nc,
+                            n_threads=cfg.nThreads)
+        if not src.exists():
+            print(f"indexed CelebA not found at {route}; using synthetic data")
+            src = SyntheticImages(cfg.fineSize, nc=cfg.nc,
+                                  seed=cfg.manualSeed or 1234)
+
+    imgs_per_step = cfg.images_per_step if cfg.patch_based else cfg.batchSize
+
+    def batch_fn(epoch, i):
+        hr = src.load_batch(i, imgs_per_step)  # (imgs, nc, fine, fine) [0,1]
+        if cfg.patch_based:
+            # pure-numpy grid extraction (host path must not touch the device)
+            b, ps = hr.shape[0], cfg.patchSize
+            n = cfg.fineSize // ps
+            hr = (hr[:, 0].reshape(b, n, ps, n, ps)
+                  .transpose(0, 1, 3, 2, 4)
+                  .reshape(b * n * n, 1, ps, ps))
+        if cfg.data_range == "pm1":
+            hr = hr * 2 - 1
+        return np.ascontiguousarray(hr)
+
+    return src, batch_fn
+
+
+def dump_samples(cfg, state, out_dir, sample_hw):
+    """End-of-run PNG dumps through toDisplayTensor semantics (train.lua:306-326)."""
+    os.makedirs(out_dir, exist_ok=True)
+    gen = make_generator_fn(cfg)
+    hr = jnp.asarray(sample_hw)
+    save_display(os.path.join(out_dir, "real_none_sample.png"), np.asarray(hr))
+    lr = box_downsample2(hr)
+    save_display(os.path.join(out_dir, "real_reduced_sample.png"), np.asarray(lr))
+    bil = resize_bilinear(lr, cfg.fineSize, cfg.fineSize)
+    save_display(os.path.join(out_dir, "real_bilinear_sample.png"), np.asarray(bil))
+    if cfg.variant == "gray-patch-batch-overlap":
+        res = sr_overlap_image(cfg, gen, state.g_params, state.g_state, hr)
+        save_display(os.path.join(out_dir, "fake_none_sample.png"),
+                     np.asarray(res["naive"]))
+        save_display(os.path.join(out_dir, "fake_none_overlap_sample.png"),
+                     np.asarray(res["seam"]))
+        fake = res["seam"]
+    elif cfg.patch_based:
+        from .infer.tiled import sr_grid_patches
+        fake = sr_grid_patches(cfg, gen, state.g_params, state.g_state, hr)
+        save_display(os.path.join(out_dir, "fake_none_sample.png"), np.asarray(fake))
+    else:
+        fake, _ = sr_full_image(cfg, gen, state.g_params, state.g_state, hr)
+        save_display(os.path.join(out_dir, "fake_none_sample.png"), np.asarray(fake))
+    print("PSNR btwn real & bilinear: %.4f" % float(cal_psnr(hr, bil)))
+    print("PSNR btwn real & fake: %.4f" % float(cal_psnr(hr, fake)))
+    print("SSIM btwn real & bilinear: %.4f" % float(cal_ssim(hr, bil)))
+    print("SSIM btwn real & fake: %.4f" % float(cal_ssim(hr, fake)))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="gray-3",
+                    help="one of the 7 reference variants")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="steps per epoch (default: ntrain/batchSize)")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--eval", action="store_true", dest="do_eval")
+    ap.add_argument("--eval-sets", type=int, default=2,
+                    help="file_sets per eval slice")
+    ap.add_argument("--samples-dir", default=None)
+    ap.add_argument("--dp", action="store_true",
+                    help="data-parallel over all local devices")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute (fp32 params)")
+    ap.add_argument("--seed", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    overrides = {}
+    if args.bf16:
+        overrides["compute_dtype"] = "bfloat16"
+    cfg = get_config(args.config, **overrides)
+    if args.seed is not None:
+        cfg.manualSeed = args.seed
+    if cfg.manualSeed is None:
+        cfg.manualSeed = int(np.random.randint(1, 10001))  # train.lua:30
+    print(f"config: {cfg}")
+    print(f"Random Seed: {cfg.manualSeed}")
+
+    loader, batch_fn = build_data(cfg, args)
+
+    key = jax.random.PRNGKey(cfg.manualSeed)
+    state = init_train_state(cfg, key)
+
+    start_epoch = 0
+    if args.resume and args.checkpoint_dir:
+        ep = latest_epoch(args.checkpoint_dir, cfg.name)
+        if ep is not None:
+            state = load_checkpoint(args.checkpoint_dir, cfg.name, ep, state)
+            start_epoch = ep
+            print(f"resumed from epoch {ep}")
+
+    prepare = None
+    if args.dp and jax.device_count() > 1:
+        mesh = create_mesh()
+        step_fn = build_dp_train_step(cfg, mesh)
+        prepare = lambda b: shard_batch(jnp.asarray(b), mesh)
+        print(f"data-parallel over {jax.device_count()} devices")
+    else:
+        step_fn = jax.jit(build_train_step(cfg), donate_argnums=(0,))
+
+    epochs = args.epochs if args.epochs is not None else cfg.niter
+    if args.steps is not None:
+        steps = args.steps
+    else:
+        imgs = cfg.images_per_step if cfg.patch_based else cfg.batchSize
+        ntrain = cfg.ntrain if math.isfinite(cfg.ntrain) else 1000
+        steps = max(int(ntrain) // imgs, 1)
+
+    t0 = time.perf_counter()
+    state, _ = train_epochs(cfg, state, batch_fn, step_fn=step_fn,
+                            niter=epochs, steps_per_epoch=steps,
+                            checkpoint_dir=args.checkpoint_dir,
+                            prepare_batch=prepare)
+
+    if args.do_eval:
+        if hasattr(loader, "load_batch"):
+            gen = make_generator_fn(cfg)
+            train_res = evaluate_slice(cfg, gen, state.g_params, state.g_state,
+                                       loader, range(args.eval_sets))
+            train_res.print_reference_style("Train-set")
+            test_res = evaluate_slice(cfg, gen, state.g_params, state.g_state,
+                                      loader, range(2000, 2000 + args.eval_sets))
+            test_res.print_reference_style("Test-set")
+        else:
+            print("eval requires an indexed/synthetic loader")
+
+    if args.samples_dir:
+        if hasattr(loader, "load_one"):
+            sample = loader.load_one(1)[0]
+        else:
+            sample = batch_fn(1, 0)[0, 0]
+        dump_samples(cfg, state, args.samples_dir, sample)
+
+    print("Total time: %.3f" % (time.perf_counter() - t0))
+    if hasattr(loader, "close"):
+        loader.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Folder dataset: the reference's dataset.lua + donkey_folder.lua, natively.
+
+Replaces the LuaJIT-FFI path arena + GNU `find` shell-out indexer
+(dataset.lua:135-217) with an os.scandir walk writing a cached flat index
+(parity with `cache/<sanitized-path>_trainCache.t7`, donkey_folder.lua:24-27),
+and the per-thread `trainHook` (donkey_folder.lua:52-70): aspect-preserving
+resize so the short side equals loadSize, random crop to fineSize, hflip with
+p=0.5, then [0,1] -> [-1,1].
+
+Sampling is the reference's balanced scheme (dataset.lua:313-347): uniform
+class, then uniform image within the class.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+
+from ..image.io import load_image
+from ..image.ops import _bilinear_matrix
+
+_EXTS = {".jpg", ".jpeg", ".png", ".ppm", ".bmp"}
+
+
+def _resize_chw(chw, out_h, out_w):
+    """Host-side bilinear resize using the same endpoint-aligned matrices as
+    the device op (image/ops.py) — one resize algorithm everywhere."""
+    a = _bilinear_matrix(chw.shape[-2], out_h)
+    b = _bilinear_matrix(chw.shape[-1], out_w)
+    return np.einsum("oh,chw,pw->cop", a, chw, b, optimize=True)
+
+
+class FolderDataset:
+    """'flat folder = class' dataset with cached index and balanced sampling."""
+
+    def __init__(self, root, load_size=96, fine_size=64, nc=3,
+                 cache_dir="cache", verbose=False):
+        if not os.path.isdir(root):
+            raise FileNotFoundError(f"Did not find directory: {root}")
+        self.root = root
+        self.load_size = load_size
+        self.fine_size = fine_size
+        self.nc = nc
+        self.classes, self.paths, self.labels = self._index(root, cache_dir, verbose)
+        if not self.paths:
+            raise RuntimeError(f"no images found under {root}")
+
+    # ---- indexing with cache (dataset.lua class discovery + path packing) --
+    @staticmethod
+    def _cache_path(root, cache_dir):
+        key = root.replace("/", "_")
+        digest = hashlib.sha1(root.encode()).hexdigest()[:8]
+        return os.path.join(cache_dir, f"{key}_{digest}_trainCache.json")
+
+    def _index(self, root, cache_dir, verbose):
+        cache_file = self._cache_path(root, cache_dir)
+        if os.path.isfile(cache_file):
+            if verbose:
+                print("Loading train metadata from cache")
+            with open(cache_file) as f:
+                d = json.load(f)
+            return d["classes"], d["paths"], d["labels"]
+        if verbose:
+            print("Creating train metadata")
+        subdirs = sorted(e.name for e in os.scandir(root) if e.is_dir())
+        classes = subdirs if subdirs else ["."]
+        paths, labels = [], []
+        for ci, cls in enumerate(classes):
+            base = os.path.join(root, cls) if cls != "." else root
+            for dirpath, _, files in os.walk(base):
+                for fn in sorted(files):
+                    if os.path.splitext(fn)[1].lower() in _EXTS:
+                        paths.append(os.path.join(dirpath, fn))
+                        labels.append(ci)
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(cache_file, "w") as f:
+            json.dump({"classes": classes, "paths": paths, "labels": labels}, f)
+        if verbose:
+            print("saved metadata cache at", cache_file)
+        return classes, paths, labels
+
+    def size(self):
+        return len(self.paths)
+
+    # ---- trainHook (donkey_folder.lua:33-70) -------------------------------
+    def _load_resized(self, path):
+        img = load_image(path, nc=3)
+        h, w = img.shape[-2], img.shape[-1]
+        ls = self.load_size
+        if w < h:
+            out_w, out_h = ls, max(int(round(ls * h / w)), ls)
+        else:
+            out_w, out_h = max(int(round(ls * w / h)), ls), ls
+        return _resize_chw(img, out_h, out_w)
+
+    def train_hook(self, path, rng):
+        img = self._load_resized(path)
+        h, w = img.shape[-2], img.shape[-1]
+        fs = self.fine_size
+        # random crop: ceil(uniform(1e-2, dim-fs)) in 1-based Lua is a
+        # 0-based start in [0, dim-fs] here
+        h1 = int(rng.randint(0, h - fs + 1)) if h > fs else 0
+        w1 = int(rng.randint(0, w - fs + 1)) if w > fs else 0
+        out = img[:, h1:h1 + fs, w1:w1 + fs]
+        if rng.rand() > 0.5:
+            out = out[:, :, ::-1]
+        out = out * 2.0 - 1.0  # [0,1] -> [-1,1]
+        if self.nc == 1:
+            # gray variant converts AFTER the hook with .21/.72/.07 weights
+            # (train-gray.lua:220-222); keep 3 channels here, convert upstream
+            pass
+        return np.ascontiguousarray(out, np.float32)
+
+    # ---- balanced sampler (dataset.lua:313-347) ----------------------------
+    def sample(self, batch_size, rng=None):
+        rng = rng or np.random.RandomState()
+        by_class = {}
+        for p, l in zip(self.paths, self.labels):
+            by_class.setdefault(l, []).append(p)
+        class_ids = sorted(by_class)
+        out = np.empty((batch_size, 3, self.fine_size, self.fine_size), np.float32)
+        for i in range(batch_size):
+            cls = class_ids[rng.randint(len(class_ids))]
+            path = by_class[cls][rng.randint(len(by_class[cls]))]
+            out[i] = self.train_hook(path, rng)
+        return out
+
+    def get(self, i1, i2, rng=None):
+        """Sequential slice (dataset.lua:349-365), 1-based inclusive like Lua."""
+        rng = rng or np.random.RandomState(0)
+        idx = range(i1 - 1, i2)
+        out = np.empty((len(idx), 3, self.fine_size, self.fine_size), np.float32)
+        for j, i in enumerate(idx):
+            out[j] = self.train_hook(self.paths[i], rng)
+        return out

@@ -1,0 +1,94 @@
+"""Dataset-wide evaluation harness — the reference's parity yardstick.
+
+Reproduces train-gray-3.lua:354-535 (SURVEY.md §3.5): over fixed dataset
+slices, per batch:
+  load+scale -> 2x box downsample -> bilinear upscale control -> G forward ->
+  per-image PSNR and SSIM for BOTH generator and bilinear vs ground truth,
+  accumulated into slice means.
+
+Slices: train = file_sets [0, ntrain/100); test = file_sets [2000, 2020]
+(images 200,001-202,100).  The patch-batch protocol evaluates 500 train and
+500 test images from file_set 10000 with patch reassembly
+(train-gray-patch-batch.lua:365-367,487-489) and adds the polarity rescue:
+PSNR < 13 dB -> score 1-x instead (:673-680).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..image.ops import box_downsample2, resize_bilinear
+from ..image.patches import extract_grid_patches, reassemble_grid_patches
+from ..metrics import cal_psnr_batch, cal_ssim_batch
+
+
+@dataclasses.dataclass
+class EvalResult:
+    psnr_bilinear: float
+    psnr_generator: float
+    ssim_bilinear: float
+    ssim_generator: float
+    n_images: int
+
+    def print_reference_style(self, tag="Train-set", log_fn=print):
+        n = self.n_images
+        log_fn(f"[{tag}] PSNR btwn real_none & real_bilinear: "
+               f"{self.psnr_bilinear:.8f}, train-Size: {n}")
+        log_fn(f"[{tag}] PSNR btwn real_none & fake_none: "
+               f"{self.psnr_generator:.8f}, train-Size: {n}")
+        log_fn(f"[{tag}] SSIM btwn real_none & real_bilinear: "
+               f"{self.ssim_bilinear:.8f}, train-Size: {n}")
+        log_fn(f"[{tag}] SSIM btwn real_none & fake_none: "
+               f"{self.ssim_generator:.8f}, train-Size: {n}")
+
+
+def evaluate_slice(cfg, gen_fn, params, state, loader, file_sets, *,
+                   batch_size=None, with_ssim=True):
+    """Mean PSNR/SSIM over the given file_set indices.
+
+    loader.load_batch(file_set, batch_size) -> (B, nc, H, W) in [0,1].
+    For patch variants the generator runs per 8x8 tile and the image is
+    reassembled before scoring (train-gray-patch-batch.lua:417-442).
+    """
+    batch_size = batch_size or cfg.batchSize
+    tot = np.zeros(4)
+    n = 0
+    for fs in file_sets:
+        hr = jnp.asarray(loader.load_batch(fs, batch_size))  # (B, nc, H, W)
+        hr2d = hr[:, 0]
+        lr = box_downsample2(hr2d)
+        bil = resize_bilinear(lr, cfg.fineSize, cfg.fineSize)
+        if cfg.patch_based:
+            tiles = extract_grid_patches(hr2d, cfg.patchSize)  # (B, P2, p, p)
+            b, p2, p, _ = tiles.shape
+            lr_tiles = box_downsample2(tiles).reshape(b * p2, 1, p // 2, p // 2)
+            fake_tiles = gen_fn(params, state, lr_tiles)[:, 0]
+            fake = reassemble_grid_patches(
+                fake_tiles.reshape(b, p2, p, p), cfg.fineSize, cfg.fineSize)
+        else:
+            fake = gen_fn(params, state, lr[:, None])[:, 0]
+        tot[0] += float(cal_psnr_batch(hr2d, bil).sum())
+        tot[1] += float(cal_psnr_batch(hr2d, fake).sum())
+        if with_ssim:
+            tot[2] += float(cal_ssim_batch(hr2d, bil).sum())
+            tot[3] += float(cal_ssim_batch(hr2d, fake).sum())
+        n += batch_size
+    return EvalResult(psnr_bilinear=tot[0] / n, psnr_generator=tot[1] / n,
+                      ssim_bilinear=tot[2] / n, ssim_generator=tot[3] / n,
+                      n_images=n)
+
+
+def polarity_rescue(real_hw, fake_hw, threshold=13.0):
+    """train-gray-patch-batch.lua:673-680: if PSNR < 13 dB, try 1-x.
+
+    Returns (image, psnr, inverted?).
+    """
+    from ..metrics import cal_psnr
+    p = float(cal_psnr(jnp.asarray(real_hw), jnp.asarray(fake_hw)))
+    if p < threshold:
+        inv = 1.0 - jnp.asarray(fake_hw)
+        return inv, float(cal_psnr(jnp.asarray(real_hw), inv)), True
+    return jnp.asarray(fake_hw), p, False

@@ -1,0 +1,72 @@
+"""Inference paths: full-image SR, grid-patch SR, and overlap+stitch SR.
+
+Mirrors the reference's three sample-making pipelines:
+  full image:   netG:forward on the whole downsampled image (train-gray-3.lua:564-580)
+  grid patches: extract -> batched G -> reassemble (train-gray-patch.lua:551-604)
+  overlap:      225-tile extraction -> batched G -> naive + seam-cut stitches
+                (train-gray-patch-batch-overlap.lua:377-704)
+
+Everything except the seam DP runs on device: patch extraction, per-patch box
+downsample, the batched generator (a single MXU-friendly (L*L, 1, p/2, p/2)
+batch), and the naive stitch.  The seam DP (microseconds of work) runs on
+host — see infer/seam.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..image.ops import box_downsample2
+from ..image.patches import (
+    extract_grid_patches,
+    extract_overlap_patches,
+    reassemble_grid_patches,
+    stitch_overlap_naive,
+)
+from ..models import apply_network, generator_spec
+from .seam import seam_stitch
+
+
+def make_generator_fn(cfg, jit=True):
+    """Returns gen(params, state, lr_batch) -> hr_batch, (B, nc, h, w) in/out.
+
+    Runs in train mode (batch statistics) — the reference never switches its
+    nets to evaluate mode, so inference parity requires batch stats too.
+    """
+    spec = generator_spec(cfg)
+
+    def gen(params, state, lr):
+        out, _ = apply_network(spec, params, lr, state, train=True)
+        return out
+
+    return jax.jit(gen) if jit else gen
+
+
+def sr_full_image(cfg, gen_fn, params, state, img_hw):
+    """Full-image 2x SR of one (H, W) image; returns (hr_fake, lr) arrays."""
+    lr = box_downsample2(jnp.asarray(img_hw))
+    fake = gen_fn(params, state, lr[None, None])[0, 0]
+    return fake, lr
+
+
+def sr_grid_patches(cfg, gen_fn, params, state, img_hw):
+    """Non-overlapping patch SR with reassembly (train-gray-patch.lua:551-604)."""
+    fine, patch = cfg.fineSize, cfg.patchSize
+    hr_patches = extract_grid_patches(jnp.asarray(img_hw), patch)
+    lr_patches = box_downsample2(hr_patches)
+    fake = gen_fn(params, state, lr_patches[:, None])[:, 0]
+    return reassemble_grid_patches(fake, fine, fine)
+
+
+def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False):
+    """Overlap-tile SR: returns dict with naive and seam-stitched outputs."""
+    fine, patch, ov = cfg.fineSize, cfg.patchSize, cfg.overlap
+    hr_tiles = extract_overlap_patches(jnp.asarray(img_hw), patch, ov)
+    lr_tiles = box_downsample2(hr_tiles)
+    fake_tiles = gen_fn(params, state, lr_tiles[:, None])[:, 0]
+    naive = stitch_overlap_naive(fake_tiles, fine, patch, ov)
+    seam = seam_stitch(np.asarray(fake_tiles), fine, patch, ov,
+                       both_seams=both_seams)
+    return {"tiles": fake_tiles, "naive": naive, "seam": jnp.asarray(seam)}

@@ -90,6 +90,9 @@ def apply_network(spec, params, x, state=None, *, train=True, compute_dtype=None
         else:
             raise ValueError(f"unknown layer kind {kind!r}")
         new_state.append(ns)
+    if compute_dtype is not None:
+        # bf16 compute path: hand fp32 back to losses/labels/metrics
+        x = x.astype(jnp.float32)
     return x, new_state
 
 

@@ -38,8 +38,14 @@ def conv2d(x, w, stride=1, padding=0, *, compute_dtype=None):
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     prec = _precision(compute_dtype)
     if compute_dtype is not None:
+        # bf16 in/out: MXU accumulates in fp32 internally; keeping the output
+        # dtype equal to the input dtype keeps the AD transpose rules
+        # dtype-consistent (a f32 preferred_element_type breaks the vjp).
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+        return lax.conv_general_dilated(
+            x, w, window_strides=s, padding=p,
+            dimension_numbers=_DN, precision=prec)
     return lax.conv_general_dilated(
         x, w, window_strides=s, padding=p,
         dimension_numbers=_DN,
@@ -67,6 +73,9 @@ def conv_transpose2d(x, w, stride=2, padding=1, *, compute_dtype=None):
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w_f = w_f.astype(compute_dtype)
+        return lax.conv_general_dilated(
+            x, w_f, window_strides=(1, 1), padding=pads,
+            lhs_dilation=s, dimension_numbers=_DN, precision=prec)
     return lax.conv_general_dilated(
         x, w_f, window_strides=(1, 1), padding=pads,
         lhs_dilation=s,
@@ -91,6 +100,9 @@ def batch_norm(x, scale, bias, *, state=None, train=True, eps=1e-5, momentum=0.1
     Returns (y, new_state) where state = {"mean","var"} running stats
     (unbiased var, momentum 0.1, Torch defaults).
     """
+    in_dtype = x.dtype
+    if in_dtype != jnp.float32:
+        x = x.astype(jnp.float32)  # bf16 path: stats and normalize in fp32
     if train:
         mean = jnp.mean(x, axis=(0, 2, 3))
         mean_sq = jnp.mean(x * x, axis=(0, 2, 3))
@@ -113,7 +125,7 @@ def batch_norm(x, scale, bias, *, state=None, train=True, eps=1e-5, momentum=0.1
     inv = lax.rsqrt(var + eps)
     y = (x - mean[None, :, None, None]) * (inv * scale)[None, :, None, None]
     y = y + bias[None, :, None, None]
-    return y, new_state
+    return y.astype(in_dtype), new_state
 
 
 def relu(x):

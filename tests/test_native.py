@@ -1,0 +1,86 @@
+"""Native C++ data-path tests: decode/resize parity vs the Python (PIL) path."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from dcgan_sr_tpu.data import native
+from dcgan_sr_tpu.image.io import load_image as pil_load, save_image
+from dcgan_sr_tpu.data.folder import _resize_chw
+
+NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+
+
+@pytest.fixture(scope="module")
+def built():
+    if not native.available():
+        rc = subprocess.run(["make", "-C", NATIVE_DIR],
+                            capture_output=True).returncode
+        if rc != 0 or not native.available():
+            pytest.skip("native toolchain unavailable")
+    return True
+
+
+def _make_pngs(tmp_path, n=3, hw=(40, 30)):
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(n):
+        img = rng.rand(3, *hw).astype(np.float32)
+        p = str(tmp_path / f"{i + 1:06d}.jpg".replace(".jpg", ".png"))
+        save_image(p, img)
+        paths.append(p)
+    return paths
+
+
+def test_native_decode_matches_pil(built, tmp_path):
+    [p] = _make_pngs(tmp_path, n=1)
+    nat = native.load_image(p, nc=1, out_h=16, out_w=16)
+    ref_full = pil_load(p, nc=1)
+    ref = _resize_chw(ref_full, 16, 16)
+    np.testing.assert_allclose(nat, ref, atol=2e-6)
+
+
+def test_native_decode_rgb(built, tmp_path):
+    [p] = _make_pngs(tmp_path, n=1)
+    nat = native.load_image(p, nc=3, out_h=20, out_w=20)
+    ref = _resize_chw(pil_load(p, nc=3), 20, 20)
+    assert nat.shape == (3, 20, 20)
+    np.testing.assert_allclose(nat, ref, atol=2e-6)
+
+
+def test_native_index_dir(built, tmp_path):
+    _make_pngs(tmp_path, n=3)
+    (tmp_path / "sub").mkdir()
+    _make_pngs(tmp_path / "sub", n=2)
+    paths = native.index_dir(str(tmp_path))
+    assert len(paths) == 5
+    assert all(p.endswith(".png") for p in paths)
+
+
+def test_native_batch_loader(built, tmp_path):
+    # name files like CelebA: 000001.png won't match .jpg route — use jpgs
+    from PIL import Image
+    rng = np.random.RandomState(1)
+    for i in range(1, 5):
+        arr = (rng.rand(24, 18, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"{i:06d}.jpg"), quality=95)
+    loader = native.NativeIndexedLoader(str(tmp_path), fine_size=16, nc=1,
+                                        n_threads=2)
+    batch = loader.load_batch(0, 4)
+    assert batch.shape == (4, 1, 16, 16)
+    assert np.isfinite(batch).all()
+    assert 0 <= batch.min() and batch.max() <= 1
+    # parity with the PIL path on the same JPEG bytes
+    ref = _resize_chw(pil_load(str(tmp_path / "000001.jpg"), nc=1), 16, 16)
+    np.testing.assert_allclose(batch[0], ref, atol=2e-6)
+    loader.close()
+
+
+def test_native_missing_file_raises(built, tmp_path):
+    loader = native.NativeIndexedLoader(str(tmp_path), fine_size=8, nc=1)
+    with pytest.raises(IOError):
+        loader.load_batch(0, 2)
+    loader.close()
