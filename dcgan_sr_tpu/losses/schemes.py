@@ -33,6 +33,20 @@ def bce_loss(pred, target):
     return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
 
 
+def bce_with_logits_loss(logits, target):
+    """BCE fused with the sigmoid head, evaluated from logits.
+
+    Mathematically identical to bce_loss(sigmoid(logits), target) but stable:
+    no log-of-saturated-sigmoid, gradients bounded by |sigmoid(l) - t| <= 1.
+    The train step uses this for the BCE variants (the D spec's Sigmoid is
+    folded into the loss); the reference's fp32 BCECriterion-on-sigmoid is the
+    same function up to floating-point error.
+    """
+    logits = logits.astype(jnp.float32)
+    return jnp.mean(jnp.maximum(logits, 0.0) - logits * target
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
 def criterion(cfg):
     return bce_loss if cfg.loss == "bce" else mse_loss
 

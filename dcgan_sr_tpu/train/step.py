@@ -79,6 +79,14 @@ def build_train_step(cfg, *, axis_name=None):
     g_spec = generator_spec(cfg)
     d_spec = discriminator_spec(cfg)
     crit = criterion(cfg)
+    if cfg.loss == "bce":
+        # fold D's Sigmoid head into the loss (bce_with_logits): identical
+        # math to BCECriterion-on-sigmoid, but stable when D saturates
+        # (prevents inf/nan gradients in the bf16 path)
+        from ..losses.schemes import bce_with_logits_loss
+        d_spec = tuple(dict(l, act=None) if l.get("act") == "sigmoid" else l
+                       for l in d_spec)
+        crit = bce_with_logits_loss
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     adam_kw = dict(lr=cfg.lr, beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps)
 

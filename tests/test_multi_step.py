@@ -1,0 +1,56 @@
+"""Multi-step scan runner: equivalence with sequential single steps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dcgan_sr_tpu.core import get_config
+from dcgan_sr_tpu.losses.schemes import bce_loss, bce_with_logits_loss
+from dcgan_sr_tpu.train import build_train_step, init_train_state
+from dcgan_sr_tpu.train.multi_step import build_multi_step
+
+TINY = dict(ngf=4, ndf=8)
+
+
+def test_multi_step_equals_sequential():
+    cfg = get_config("gray-3", env_override=False, **TINY)
+    k = 3
+    batches = jnp.asarray(
+        np.random.RandomState(0).rand(k, 4, 1, 64, 64), jnp.float32)
+
+    step = jax.jit(build_train_step(cfg))
+    s_seq = init_train_state(cfg, jax.random.PRNGKey(5))
+    errs = []
+    for i in range(k):
+        s_seq, m = step(s_seq, batches[i])
+        errs.append(float(m["errG"]))
+
+    mstep = jax.jit(build_multi_step(cfg))
+    s_scan = init_train_state(cfg, jax.random.PRNGKey(5))
+    s_scan, ms = mstep(s_scan, batches)
+
+    np.testing.assert_allclose(np.asarray(ms["errG"]), errs, rtol=1e-5, atol=1e-6)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_seq.g_params, s_scan.g_params)
+    # scan recompiles the body in a different fusion context; tiny fp32
+    # reassociation differences accumulate over k Adam steps
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_bce_with_logits_matches_bce():
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(64) * 3, jnp.float32)
+    target = jnp.asarray(rng.randint(0, 2, 64), jnp.float32)
+    a = float(bce_with_logits_loss(logits, target))
+    b = float(bce_loss(jax.nn.sigmoid(logits), target))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_bce_with_logits_stable_at_saturation():
+    logits = jnp.asarray([500.0, -500.0])
+    target = jnp.asarray([0.0, 1.0])
+    v = float(bce_with_logits_loss(logits, target))
+    assert np.isfinite(v) and v > 100
+    g = jax.grad(lambda l: bce_with_logits_loss(l, target))(logits)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.all(np.abs(np.asarray(g)) <= 1.0)
