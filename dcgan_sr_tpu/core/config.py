@@ -68,6 +68,7 @@ class Config:
     compute_dtype: str = "float32"   # "float32" | "bfloat16"
     data_axis: str = "data"          # mesh axis name for data parallelism
     use_pallas: bool = False         # fused Pallas kernels for hot ops
+    fast_ops: bool = False           # sub-pixel/s2d conv rewrites (ops/fast.py)
 
     # ------------------------------------------------------------------
     @property

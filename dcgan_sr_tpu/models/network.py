@@ -55,14 +55,20 @@ def init_network(key, spec, dtype=jnp.float32):
 
 
 def apply_network(spec, params, x, state=None, *, train=True, compute_dtype=None,
-                  axis_name=None):
+                  axis_name=None, fast=False):
     """Forward pass. Returns (y, new_state).
 
     `train=True` uses batch statistics in BN — reference parity: the Lua
     scripts never switch to evaluate mode, so even their eval/inference paths
     normalize with batch stats (SURVEY.md §7.4).  `axis_name` turns on
     cross-replica BN for data-parallel shards (see ops.nn.batch_norm).
+
+    `fast=True` rewrites the k4s2p1 conv pair into their MXU-efficient
+    sub-pixel / space-to-depth forms (ops/fast.py) — identical math, ~4x the
+    MXU lane utilization for the small-channel generators.
     """
+    if fast:
+        from ..ops import fast as F
     new_state = []
     for i, layer in enumerate(spec):
         kind = layer["kind"]
@@ -74,12 +80,22 @@ def apply_network(spec, params, x, state=None, *, train=True, compute_dtype=None
         elif kind == "flatten":
             x = x.reshape(x.shape[0], -1)[:, 0]
         elif kind in ("conv", "convT"):
+            fast_ok = (fast and layer["k"] == 4 and layer["s"] == 2
+                       and layer["p"] == 1 and x.shape[-1] % 2 == 0
+                       and x.shape[-2] % 2 == 0)
             if kind == "conv":
-                x = N.conv2d(x, p["w"], layer["s"], layer["p"],
-                             compute_dtype=compute_dtype)
+                if fast_ok:
+                    x = F.conv2d_s2d(x, p["w"], compute_dtype=compute_dtype)
+                else:
+                    x = N.conv2d(x, p["w"], layer["s"], layer["p"],
+                                 compute_dtype=compute_dtype)
             else:
-                x = N.conv_transpose2d(x, p["w"], layer["s"], layer["p"],
-                                       compute_dtype=compute_dtype)
+                if fast_ok:
+                    x = F.conv_transpose2d_subpixel(
+                        x, p["w"], compute_dtype=compute_dtype)
+                else:
+                    x = N.conv_transpose2d(x, p["w"], layer["s"], layer["p"],
+                                           compute_dtype=compute_dtype)
             if layer.get("bn"):
                 x, bn_ns = N.batch_norm(
                     x, p["bn_scale"], p["bn_bias"],

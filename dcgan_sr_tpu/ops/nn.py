@@ -101,11 +101,12 @@ def batch_norm(x, scale, bias, *, state=None, train=True, eps=1e-5, momentum=0.1
     (unbiased var, momentum 0.1, Torch defaults).
     """
     in_dtype = x.dtype
-    if in_dtype != jnp.float32:
-        x = x.astype(jnp.float32)  # bf16 path: stats and normalize in fp32
     if train:
-        mean = jnp.mean(x, axis=(0, 2, 3))
-        mean_sq = jnp.mean(x * x, axis=(0, 2, 3))
+        # stats always accumulate in fp32 (XLA fuses the cast into the
+        # reduction, so bf16 tensors are read once at bf16 width)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 2, 3))
+        mean_sq = jnp.mean(xf * xf, axis=(0, 2, 3))
         n = x.shape[0] * x.shape[2] * x.shape[3]
         if axis_name is not None:
             mean = lax.pmean(mean, axis_name)
@@ -123,9 +124,18 @@ def batch_norm(x, scale, bias, *, state=None, train=True, eps=1e-5, momentum=0.1
         mean, var = state["mean"], state["var"]
         new_state = state
     inv = lax.rsqrt(var + eps)
-    y = (x - mean[None, :, None, None]) * (inv * scale)[None, :, None, None]
-    y = y + bias[None, :, None, None]
-    return y.astype(in_dtype), new_state
+    if in_dtype == jnp.float32:
+        # exact Torch formula ordering for parity
+        y = (x - mean[None, :, None, None]) * (inv * scale)[None, :, None, None]
+        y = y + bias[None, :, None, None]
+    else:
+        # bf16 path: fold into a single per-channel affine so big-tensor
+        # traffic stays at bf16 width (bandwidth is the roofline for these
+        # hourglass generators)
+        a = (inv * scale).astype(in_dtype)
+        b = (bias - mean * inv * scale).astype(in_dtype)
+        y = x * a[None, :, None, None] + b[None, :, None, None]
+    return y, new_state
 
 
 def relu(x):

@@ -88,6 +88,7 @@ def build_train_step(cfg, *, axis_name=None):
                        for l in d_spec)
         crit = bce_with_logits_loss
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    fast = cfg.fast_ops
     adam_kw = dict(lr=cfg.lr, beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps)
 
     def step(state: TrainState, hr):
@@ -97,7 +98,7 @@ def build_train_step(cfg, *, axis_name=None):
         def g_fwd(pg):
             fake, gs = apply_network(g_spec, pg, lr_img, state.g_state,
                                      train=True, compute_dtype=compute_dtype,
-                                     axis_name=axis_name)
+                                     axis_name=axis_name, fast=fast)
             return fake, gs
 
         fake, g_vjp, g_state_new = jax.vjp(g_fwd, state.g_params, has_aux=True)
@@ -106,7 +107,7 @@ def build_train_step(cfg, *, axis_name=None):
         def d_real_loss(pd):
             out, ds = apply_network(d_spec, pd, hr, state.d_state,
                                     train=True, compute_dtype=compute_dtype,
-                                    axis_name=axis_name)
+                                    axis_name=axis_name, fast=fast)
             real_vec = jnp.full(out.shape, cfg.real_label, jnp.float32)
             return crit(out, real_vec), ds
 
@@ -121,7 +122,7 @@ def build_train_step(cfg, *, axis_name=None):
         def d_fake_fwd(pd, x):
             out, ds = apply_network(d_spec, pd, x, d_state_mid,
                                     train=True, compute_dtype=compute_dtype,
-                                    axis_name=axis_name)
+                                    axis_name=axis_name, fast=fast)
             return out, ds
 
         out_fake, d_fake_vjp, d_state_new = jax.vjp(
