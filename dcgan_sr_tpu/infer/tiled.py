@@ -60,13 +60,57 @@ def sr_grid_patches(cfg, gen_fn, params, state, img_hw):
     return reassemble_grid_patches(fake, fine, fine)
 
 
-def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False):
-    """Overlap-tile SR: returns dict with naive and seam-stitched outputs."""
+def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
+                     device_seam=True):
+    """Overlap-tile SR: returns dict with naive and seam-stitched outputs.
+
+    device_seam=True runs the batched lax.scan seam DP on device
+    (infer/seam_device.py, bit-identical); False uses the host NumPy replay.
+    both_seams (intent mode) is host-only.
+    """
     fine, patch, ov = cfg.fineSize, cfg.patchSize, cfg.overlap
     hr_tiles = extract_overlap_patches(jnp.asarray(img_hw), patch, ov)
     lr_tiles = box_downsample2(hr_tiles)
     fake_tiles = gen_fn(params, state, lr_tiles[:, None])[:, 0]
     naive = stitch_overlap_naive(fake_tiles, fine, patch, ov)
-    seam = seam_stitch(np.asarray(fake_tiles), fine, patch, ov,
-                       both_seams=both_seams)
-    return {"tiles": fake_tiles, "naive": naive, "seam": jnp.asarray(seam)}
+    if device_seam and not both_seams:
+        from .seam_device import seam_stitch_device
+        seam = seam_stitch_device(fake_tiles, fine, patch, ov)
+    else:
+        seam = jnp.asarray(seam_stitch(np.asarray(fake_tiles), fine, patch, ov,
+                                       both_seams=both_seams))
+    return {"tiles": fake_tiles, "naive": naive, "seam": seam}
+
+
+def make_overlap_sr_fn(cfg, *, compute_dtype=None):
+    """One jitted program: batched overlap SR of (N, fine, fine) images ->
+    dict of stacked naive and seam-stitched outputs.  The whole pipeline —
+    tile extraction, per-tile box downsample, the batched generator over
+    N*L*L tiles, the naive stitch and the scan-based seam DP — runs on
+    device; nothing round-trips to the host (the reference crosses the
+    device boundary once per image and stitches on the host, SURVEY.md §3.4).
+    """
+    from ..models import apply_network, generator_spec
+    from .seam_device import seam_stitch_device
+
+    fine, patch, ov = cfg.fineSize, cfg.patchSize, cfg.overlap
+    spec = generator_spec(cfg)
+
+    def one_image(params, state, image):
+        tiles = extract_overlap_patches(image, patch, ov)    # (T, p, p)
+        lr = box_downsample2(tiles)[:, None]
+        # BN statistics are per-image (the reference feeds one image's 225
+        # tiles as the generator batch, overlap:427-431) — vmapping the whole
+        # per-image pipeline preserves that
+        fake, _ = apply_network(spec, params, lr, state, train=True,
+                                compute_dtype=compute_dtype)
+        fake = fake[:, 0]
+        return (stitch_overlap_naive(fake, fine, patch, ov),
+                seam_stitch_device(fake, fine, patch, ov))
+
+    def run(params, state, images):
+        naive, seam = jax.vmap(one_image, in_axes=(None, None, 0))(
+            params, state, images)
+        return {"naive": naive, "seam": seam}
+
+    return jax.jit(run)
