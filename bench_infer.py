@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Secondary benchmark: patch-overlap SR inference throughput (upscaled MP/s)
+on one TPU chip vs a torch-CPU re-enactment of the reference pipeline
+(train-gray-patch-batch-overlap.lua:377-704: 225-tile extraction, per-tile 2x2
+degrade, generator over the tile batch, naive + seam-cut stitch).
+
+BASELINE.md target: >10x the reference CPU upscaled MP/sec.
+Prints one JSON line (same schema as bench.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+N_IMAGES = 64
+
+
+def measure_torch_cpu(n_images=4):
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    from dcgan_sr_tpu.infer.seam import seam_stitch
+
+    torch.manual_seed(0)
+    ngf = 16
+    netG = nn.Sequential(  # overlap:76-103 topology
+        nn.UpsamplingNearest2d(scale_factor=2),
+        nn.ConvTranspose2d(1, ngf * 4, 4, 2, 1, bias=False),
+        nn.BatchNorm2d(ngf * 4), nn.ReLU(True),
+        nn.ConvTranspose2d(ngf * 4, ngf * 2, 4, 2, 1, bias=False),
+        nn.BatchNorm2d(ngf * 2), nn.ReLU(True),
+        nn.ConvTranspose2d(ngf * 2, ngf, 4, 2, 1, bias=False),
+        nn.BatchNorm2d(ngf), nn.ReLU(True),
+        nn.Conv2d(ngf, ngf * 2, 4, 2, 1, bias=False),
+        nn.BatchNorm2d(ngf * 2), nn.ReLU(True),
+        nn.Conv2d(ngf * 2, ngf * 4, 4, 2, 1, bias=False),
+        nn.BatchNorm2d(ngf * 4), nn.ReLU(True),
+        nn.Conv2d(ngf * 4, 1, 4, 2, 1, bias=False), nn.Sigmoid(),
+    )
+    netG.train()  # reference never switches to eval
+    rng = np.random.RandomState(0)
+
+    def one(img):
+        tiles = np.stack([img[4 * (i // 15):4 * (i // 15) + 8,
+                              4 * (i % 15):4 * (i % 15) + 8]
+                          for i in range(225)])
+        lr = tiles.reshape(225, 4, 2, 4, 2).mean(axis=(2, 4))
+        with torch.no_grad():
+            fake = netG(torch.from_numpy(lr[:, None]).float()).numpy()[:, 0]
+        out = np.zeros((64, 64), np.float32)
+        for i in range(225):  # naive stitch
+            out[4 * (i // 15):4 * (i // 15) + 8,
+                4 * (i % 15):4 * (i % 15) + 8] = fake[i]
+        seam_stitch(fake, 64, 8, 4)
+        return out
+
+    imgs = rng.rand(n_images, 64, 64).astype(np.float32)
+    one(imgs[0])  # warmup
+    t0 = time.perf_counter()
+    for img in imgs:
+        one(img)
+    dt = time.perf_counter() - t0
+    return n_images * 64 * 64 / 1e6 / dt  # upscaled MP/s
+
+
+def measure_tpu(n_images=N_IMAGES, reps=5):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from dcgan_sr_tpu.core import get_config
+    from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
+    from dcgan_sr_tpu.train import init_train_state
+
+    cfg = get_config("gray-patch-batch-overlap", env_override=False)
+    st = init_train_state(cfg, jax.random.PRNGKey(0))
+    run = make_overlap_sr_fn(cfg, compute_dtype=jnp.bfloat16)
+    imgs = jax.device_put(jnp.asarray(
+        np.random.RandomState(0).rand(n_images, 64, 64), jnp.float32))
+    out = run(st.g_params, st.g_state, imgs)
+    float(out["seam"].sum())  # sync through the tunnel
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(st.g_params, st.g_state, imgs)
+    float(out["seam"].sum())
+    dt = (time.perf_counter() - t0) / reps
+    return n_images * 64 * 64 / 1e6 / dt
+
+
+def main():
+    data = {}
+    if os.path.isfile(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            data = json.load(f)
+    if "torch_cpu_overlap_mp_per_sec" not in data:
+        data["torch_cpu_overlap_mp_per_sec"] = measure_torch_cpu()
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(data, f, indent=1)
+    baseline = data["torch_cpu_overlap_mp_per_sec"]
+    mps = measure_tpu()
+    print(json.dumps({
+        "metric": "overlap_sr_upscaled_mp_per_sec",
+        "value": round(mps, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mps / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

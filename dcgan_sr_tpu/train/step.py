@@ -91,8 +91,18 @@ def build_train_step(cfg, *, axis_name=None):
     fast = cfg.fast_ops
     adam_kw = dict(lr=cfg.lr, beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps)
 
+    use_pallas = cfg.use_pallas
+
     def step(state: TrainState, hr):
-        lr_img = box_downsample2(hr)
+        if use_pallas:
+            # fused device-side preprocess (ops/pallas_kernels.py); interpret
+            # mode keeps CPU test meshes working
+            import jax as _jax
+            from ..ops.pallas_kernels import pallas_preprocess
+            _, lr_img = pallas_preprocess(
+                hr, interpret=_jax.default_backend() != "tpu")
+        else:
+            lr_img = box_downsample2(hr)
 
         # --- G forward (single forward, pullback shared with the G update) --
         def g_fwd(pg):
