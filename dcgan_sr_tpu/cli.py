@@ -110,10 +110,21 @@ def dump_samples(cfg, state, out_dir, sample_hw):
     else:
         fake, _ = sr_full_image(cfg, gen, state.g_params, state.g_state, hr)
         save_display(os.path.join(out_dir, "fake_none_sample.png"), np.asarray(fake))
+    from .utils.stats import print_tensor_stats
+    print_tensor_stats("real_none_sample", np.asarray(hr))
+    print_tensor_stats("fake_none_sample", np.asarray(fake))
     print("PSNR btwn real & bilinear: %.4f" % float(cal_psnr(hr, bil)))
     print("PSNR btwn real & fake: %.4f" % float(cal_psnr(hr, fake)))
     print("SSIM btwn real & bilinear: %.4f" % float(cal_ssim(hr, bil)))
     print("SSIM btwn real & fake: %.4f" % float(cal_ssim(hr, fake)))
+    # polarity rescue check (train-gray-patch-batch.lua:673-680)
+    if cfg.patch_based:
+        from .evaluation import polarity_rescue
+        img, psnr, inverted = polarity_rescue(np.asarray(hr), np.asarray(fake))
+        if inverted:
+            save_display(os.path.join(out_dir, "fake_none_sample_reversed.png"),
+                         np.asarray(img))
+            print("PSNR btwn real & fake_reversed: %.4f" % psnr)
 
 
 def main(argv=None):
@@ -136,7 +147,17 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (fp32 params)")
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (the TPU plugin ignores "
+                         "JAX_PLATFORMS; this sets the jax config directly)")
+    ap.add_argument("--metrics-jsonl", default=None,
+                    help="also write per-step metrics to this JSONL file")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of the run")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     overrides = {}
     if args.bf16:
@@ -179,11 +200,20 @@ def main(argv=None):
         ntrain = cfg.ntrain if math.isfinite(cfg.ntrain) else 1000
         steps = max(int(ntrain) // imgs, 1)
 
+    logger = None
+    if args.metrics_jsonl:
+        from .utils.logging import MetricsLogger
+        logger = MetricsLogger(jsonl_path=args.metrics_jsonl)
+
+    from .utils.profiling import profile_trace
     t0 = time.perf_counter()
-    state, _ = train_epochs(cfg, state, batch_fn, step_fn=step_fn,
-                            niter=epochs, steps_per_epoch=steps,
-                            checkpoint_dir=args.checkpoint_dir,
-                            prepare_batch=prepare)
+    with profile_trace(args.profile_dir, enabled=args.profile_dir is not None):
+        state, _ = train_epochs(cfg, state, batch_fn, step_fn=step_fn,
+                                niter=epochs, steps_per_epoch=steps,
+                                checkpoint_dir=args.checkpoint_dir,
+                                prepare_batch=prepare, logger=logger)
+    if logger is not None:
+        logger.close()
 
     if args.do_eval:
         if hasattr(loader, "load_batch"):
@@ -191,8 +221,13 @@ def main(argv=None):
             train_res = evaluate_slice(cfg, gen, state.g_params, state.g_state,
                                        loader, range(args.eval_sets))
             train_res.print_reference_style("Train-set")
+            # test slices: file_set 10000+ for the patch protocol
+            # (train-gray-patch-batch.lua:489), 2000+ otherwise
+            # (train-gray-3.lua:449, images 200,001+)
+            test_start = 10000 if cfg.patch_based else 2000
             test_res = evaluate_slice(cfg, gen, state.g_params, state.g_state,
-                                      loader, range(2000, 2000 + args.eval_sets))
+                                      loader,
+                                      range(test_start, test_start + args.eval_sets))
             test_res.print_reference_style("Test-set")
         else:
             print("eval requires an indexed/synthetic loader")

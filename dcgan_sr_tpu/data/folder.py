@@ -37,16 +37,40 @@ class FolderDataset:
     """'flat folder = class' dataset with cached index and balanced sampling."""
 
     def __init__(self, root, load_size=96, fine_size=64, nc=3,
-                 cache_dir="cache", verbose=False):
+                 cache_dir="cache", verbose=False, split=100, seed=0):
+        """`split` = % of images in the train partition (dataset.lua:251-297:
+        a deterministic random permutation divides each class split/100-
+        (100-split)/100; split=100 keeps everything in train)."""
         if not os.path.isdir(root):
             raise FileNotFoundError(f"Did not find directory: {root}")
         self.root = root
         self.load_size = load_size
         self.fine_size = fine_size
         self.nc = nc
-        self.classes, self.paths, self.labels = self._index(root, cache_dir, verbose)
-        if not self.paths:
+        self.classes, paths, labels = self._index(root, cache_dir, verbose)
+        if not paths:
             raise RuntimeError(f"no images found under {root}")
+        if split >= 100:
+            self.paths, self.labels = paths, labels
+            self.test_paths, self.test_labels = [], []
+        else:
+            rng = np.random.RandomState(seed)
+            self.paths, self.labels = [], []
+            self.test_paths, self.test_labels = [], []
+            by_class = {}
+            for p, l in zip(paths, labels):
+                by_class.setdefault(l, []).append(p)
+            for l in sorted(by_class):
+                cls_paths = by_class[l]
+                perm = rng.permutation(len(cls_paths))
+                n_train = int(np.floor(len(cls_paths) * split / 100.0))
+                for j, idx in enumerate(perm):
+                    if j < n_train:
+                        self.paths.append(cls_paths[idx])
+                        self.labels.append(l)
+                    else:
+                        self.test_paths.append(cls_paths[idx])
+                        self.test_labels.append(l)
 
     # ---- indexing with cache (dataset.lua class discovery + path packing) --
     @staticmethod
@@ -136,3 +160,24 @@ class FolderDataset:
         for j, i in enumerate(idx):
             out[j] = self.train_hook(self.paths[i], rng)
         return out
+
+    def test_hook(self, path):
+        """Deterministic test-partition hook: aspect resize + center crop +
+        [-1,1] normalize (no augmentation)."""
+        img = self._load_resized(path)
+        h, w = img.shape[-2], img.shape[-1]
+        fs = self.fine_size
+        h1, w1 = max((h - fs) // 2, 0), max((w - fs) // 2, 0)
+        out = img[:, h1:h1 + fs, w1:w1 + fs]
+        return np.ascontiguousarray(out * 2.0 - 1.0, np.float32)
+
+    def get_test(self, i1, i2):
+        """Sequential test-partition slice (requires split < 100)."""
+        idx = range(i1 - 1, i2)
+        out = np.empty((len(idx), 3, self.fine_size, self.fine_size), np.float32)
+        for j, i in enumerate(idx):
+            out[j] = self.test_hook(self.test_paths[i])
+        return out
+
+    def test_size(self):
+        return len(self.test_paths)

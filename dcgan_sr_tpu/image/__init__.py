@@ -1,8 +1,11 @@
 from .ops import (  # noqa: F401
     box_downsample2,
     convolve_full,
+    crop,
     gaussian_window,
+    hflip,
     normalize_pm1,
+    random_crop_hflip,
     resize_bilinear,
     rgb2gray,
     to_display,

@@ -110,6 +110,40 @@ def normalize_pm1(x):
     return x * 2.0 - 1.0
 
 
+def crop(x, top, left, h, w):
+    """Static crop of the last two dims (image.crop, donkey_folder.lua:63)."""
+    return x[..., top:top + h, left:left + w]
+
+
+def hflip(x):
+    """Horizontal flip of the last dim (image.hflip, donkey_folder.lua:67)."""
+    return jnp.flip(x, axis=-1)
+
+
+def random_crop_hflip(key, batch, fine):
+    """Device-side trainHook augmentation: per-image random crop to `fine`
+    and hflip with p=0.5 (donkey_folder.lua:52-70), batched under jit.
+
+    batch: (B, C, H, W) with H, W >= fine; key: jax PRNG key.  Each image gets
+    independent crop offsets and flip coins — the donkey pool's per-thread RNG
+    streams become one splittable key.
+    """
+    import jax
+
+    b, _, h, w = batch.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    tops = jax.random.randint(k1, (b,), 0, h - fine + 1)
+    lefts = jax.random.randint(k2, (b,), 0, w - fine + 1)
+    flips = jax.random.bernoulli(k3, 0.5, (b,))
+
+    def one(img, top, left, flip):
+        out = jax.lax.dynamic_slice(
+            img, (0, top, left), (img.shape[0], fine, fine))
+        return jnp.where(flip, jnp.flip(out, axis=-1), out)
+
+    return jax.vmap(one)(batch, tops, lefts, flips)
+
+
 def to_display(x):
     """image.toDisplayTensor min-max rescale: (x-min)/(max-min); constant -> 0."""
     lo = x.min()

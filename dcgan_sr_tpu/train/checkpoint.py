@@ -77,3 +77,38 @@ def latest_epoch(directory, name):
     epochs = [int(m.group(1)) for f in os.listdir(directory)
               if (m := pat.match(f))]
     return max(epochs) if epochs else None
+
+
+# ---- orbax backend (optional): async, multi-host-aware checkpoints ---------
+
+def save_checkpoint_orbax(directory, name, epoch, state: TrainState):
+    """Orbax/tensorstore backend — the production path for pod-scale runs
+    (npz above stays the dependency-free default)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, f"{name}_orbax_{epoch}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {
+            "g_params": state.g_params, "g_state": state.g_state,
+            "g_opt": state.g_opt, "d_params": state.d_params,
+            "d_state": state.d_state, "d_opt": state.d_opt,
+        }, force=True)
+    return path
+
+
+def load_checkpoint_orbax(directory, name, epoch, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, f"{name}_orbax_{epoch}"))
+    tmpl = {
+        "g_params": template.g_params, "g_state": template.g_state,
+        "g_opt": template.g_opt, "d_params": template.d_params,
+        "d_state": template.d_state, "d_opt": template.d_opt,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, tmpl)
+    return TrainState(
+        g_params=restored["g_params"], g_state=restored["g_state"],
+        g_opt=restored["g_opt"], d_params=restored["d_params"],
+        d_state=restored["d_state"], d_opt=restored["d_opt"],
+    )

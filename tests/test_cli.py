@@ -1,0 +1,55 @@
+"""CLI end-to-end smoke tests (subprocess, CPU-pinned, tiny models)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, env_extra=None, timeout=420):
+    env = dict(os.environ)
+    env.update({"ngf": "4", "ndf": "8", "batchSize": "4", "ntrain": "8",
+                "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".jax_cache")})
+    env.update(env_extra or {})
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"), "--cpu",
+         "--synthetic"] + args,
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env)
+
+
+@pytest.mark.parametrize("variant", ["gray-3", "gray-patch-batch"])
+def test_cli_trains(variant, tmp_path):
+    out = _run(["--config", variant, "--steps", "2", "--epochs", "1",
+                "--metrics-jsonl", str(tmp_path / "m.jsonl")])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Epoch: [1][" in out.stdout
+    assert "End of epoch 1 / 1" in out.stdout
+    recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert len(recs) == 2 and all("errG" in r for r in recs)
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    ck = str(tmp_path / "ck")
+    out1 = _run(["--config", "gray-3", "--steps", "1", "--epochs", "1",
+                 "--checkpoint-dir", ck])
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    out2 = _run(["--config", "gray-3", "--steps", "1", "--epochs", "1",
+                 "--checkpoint-dir", ck, "--resume"])
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "resumed from epoch 1" in out2.stdout
+
+
+def test_cli_eval_and_samples(tmp_path):
+    sdir = str(tmp_path / "samples")
+    out = _run(["--config", "gray-3", "--steps", "1", "--epochs", "1",
+                "--eval", "--eval-sets", "1", "--samples-dir", sdir])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "[Train-set] PSNR btwn real_none & real_bilinear" in out.stdout
+    assert "[Test-set] SSIM btwn real_none & fake_none" in out.stdout
+    assert os.path.isfile(os.path.join(sdir, "fake_none_sample.png"))
+    assert os.path.isfile(os.path.join(sdir, "real_bilinear_sample.png"))
+    assert "real_none_sample-max" in out.stdout  # tensor-stats telemetry
