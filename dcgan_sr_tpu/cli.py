@@ -152,6 +152,9 @@ def main(argv=None):
                          "JAX_PLATFORMS; this sets the jax config directly)")
     ap.add_argument("--metrics-jsonl", default=None,
                     help="also write per-step metrics to this JSONL file")
+    ap.add_argument("--log-every", type=int, default=1,
+                    help="metric fetch/log cadence; >1 lets dispatch run "
+                         "ahead of the host (per-step fetch syncs the device)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of the run")
     args = ap.parse_args(argv)
@@ -211,7 +214,8 @@ def main(argv=None):
         state, _ = train_epochs(cfg, state, batch_fn, step_fn=step_fn,
                                 niter=epochs, steps_per_epoch=steps,
                                 checkpoint_dir=args.checkpoint_dir,
-                                prepare_batch=prepare, logger=logger)
+                                prepare_batch=prepare, logger=logger,
+                                log_every=args.log_every)
     if logger is not None:
         logger.close()
 

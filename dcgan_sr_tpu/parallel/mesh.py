@@ -25,3 +25,26 @@ def create_mesh(n_devices=None, axis_name="data") -> Mesh:
                 "(use XLA_FLAGS=--xla_force_host_platform_device_count=N on CPU)")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host (pod) initialization: call once per host before create_mesh.
+
+    After this, jax.devices() spans all hosts; the DP mesh's gradient pmean
+    rides ICI within a slice and DCN across slices automatically — the data
+    loaders should then feed per-host shards (each host sees
+    jax.local_device_count() of the global batch).  No-op on a single host.
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The per-host slice of a globally-sharded batch."""
+    per = global_batch // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)

@@ -19,13 +19,17 @@ from .step import TrainState, build_train_step
 
 def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
                  steps_per_epoch=None, log_fn=print, checkpoint_dir=None,
-                 prepare_batch=None, logger: MetricsLogger = None):
+                 prepare_batch=None, logger: MetricsLogger = None, log_every=1):
     """Run the training loop.
 
     batch_fn(epoch, step_index) -> (B, C, H, W) HR batch (numpy or jax array)
     step_fn: jitted train step (defaults to single-device jit of cfg's step)
     prepare_batch: optional device placement hook (e.g. parallel.shard_batch)
     logger: optional MetricsLogger (default: stdout-only, reference format)
+    log_every: fetch/print metrics every N steps.  1 = per-step logging like
+    the reference (train.lua:286-293) — note each fetch synchronizes the
+    device; larger values let dispatch run ahead and overlap the host-side
+    batch_fn with device compute.
     """
     if step_fn is None:
         step_fn = jax.jit(build_train_step(cfg), donate_argnums=(0,))
@@ -52,10 +56,11 @@ def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
 
                 state, metrics = step_fn(state, hr)
                 metrics_last = metrics
-                metrics_host = {k: float(v) for k, v in metrics.items()}
-                logger.log_step(epoch, i, steps_per_epoch,
-                                tm.time()["real"], data_tm.time()["real"],
-                                metrics_host)
+                if (i + 1) % log_every == 0 or i == steps_per_epoch - 1:
+                    metrics_host = {k: float(v) for k, v in metrics.items()}
+                    logger.log_step(epoch, i, steps_per_epoch,
+                                    tm.time()["real"], data_tm.time()["real"],
+                                    metrics_host)
             logger.log_epoch(epoch, niter, epoch_tm.time()["real"])
             if checkpoint_dir is not None:
                 from .checkpoint import save_checkpoint
