@@ -109,31 +109,31 @@ def get_baseline():
     return ips
 
 
-def measure_tpu(batch=BATCH, steps=STEPS):
+def measure_tpu(batch=BATCH, k=STEPS, reps=3):
     import numpy as np
     import jax
     import jax.numpy as jnp
     from dcgan_sr_tpu.core import get_config
-    from dcgan_sr_tpu.train import build_train_step, init_train_state
+    from dcgan_sr_tpu.train import init_train_state
+    from dcgan_sr_tpu.train.multi_step import jit_multi_step
 
     cfg = get_config("gray-3", env_override=False, batchSize=batch,
                      compute_dtype="bfloat16")
     state = init_train_state(cfg, jax.random.PRNGKey(0))
-    step = jax.jit(build_train_step(cfg), donate_argnums=(0,))
+    mstep = jit_multi_step(cfg)  # k steps fused into one program (lax.scan)
 
     rng = np.random.RandomState(0)
-    # pre-stage a few device batches so host feed isn't in the timed loop
-    batches = [jax.device_put(jnp.asarray(rng.rand(batch, 1, 64, 64),
-                                          jnp.float32)) for _ in range(4)]
-    state, m = step(state, batches[0])  # compile
-    float(m["errG"])
+    super_batch = jax.device_put(jnp.asarray(
+        rng.rand(k, batch, 1, 64, 64), jnp.float32))
+    state, m = mstep(state, super_batch)  # compile
+    float(m["errG"][-1])
     # NB: block_until_ready does not synchronize through the axon tunnel;
     # fetching a value that depends on the whole step chain does.
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, m = step(state, batches[i % len(batches)])
-    float(m["errG"])  # chain-dependent host fetch forces full execution
-    dt = (time.perf_counter() - t0) / steps
+    for _ in range(reps):
+        state, m = mstep(state, super_batch)
+    float(m["errG"][-1])  # chain-dependent host fetch forces full execution
+    dt = (time.perf_counter() - t0) / (reps * k)
     return batch / dt
 
 
