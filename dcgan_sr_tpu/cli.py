@@ -61,8 +61,20 @@ def build_data(cfg, args):
                               seed=cfg.manualSeed or 1234)
     else:
         route = args.data_root or IndexedCelebA.__init__.__defaults__[0]
-        src = IndexedCelebA(route, cfg.fineSize, nc=cfg.nc,
-                            n_threads=cfg.nThreads)
+        src = None
+        if getattr(args, "native_loader", False):
+            from .data import native
+            if native.available():
+                src = native.NativeIndexedLoader(
+                    route, cfg.fineSize, nc=cfg.nc,
+                    n_threads=max(cfg.nThreads, 1) * 2)
+                print("using native C++ indexed loader")
+            else:
+                print("native loader requested but libdcgansr.so not built "
+                      "(make -C native); falling back to Python loader")
+        if src is None:
+            src = IndexedCelebA(route, cfg.fineSize, nc=cfg.nc,
+                                n_threads=cfg.nThreads)
         if not src.exists():
             print(f"indexed CelebA not found at {route}; using synthetic data")
             src = SyntheticImages(cfg.fineSize, nc=cfg.nc,
@@ -136,6 +148,8 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--native-loader", action="store_true",
+                    help="decode via the C++ worker-pool loader (make -C native)")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--eval", action="store_true", dest="do_eval")
