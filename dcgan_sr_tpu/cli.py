@@ -160,6 +160,11 @@ def main(argv=None):
                     help="data-parallel over all local devices")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (fp32 params)")
+    ap.add_argument("--use-pallas", action="store_true",
+                    help="fused Pallas preprocess kernel in the train step")
+    ap.add_argument("--fast-ops", action="store_true",
+                    help="sub-pixel/s2d conv rewrites (exact; measured slower "
+                         "than XLA's emitter on this toolchain)")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (the TPU plugin ignores "
@@ -179,6 +184,10 @@ def main(argv=None):
     overrides = {}
     if args.bf16:
         overrides["compute_dtype"] = "bfloat16"
+    if args.use_pallas:
+        overrides["use_pallas"] = True
+    if args.fast_ops:
+        overrides["fast_ops"] = True
     cfg = get_config(args.config, **overrides)
     if args.seed is not None:
         cfg.manualSeed = args.seed

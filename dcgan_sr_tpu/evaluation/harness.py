@@ -11,12 +11,17 @@ Slices: train = file_sets [0, ntrain/100); test = file_sets [2000, 2020]
 500 test images from file_set 10000 with patch reassembly
 (train-gray-patch-batch.lua:365-367,487-489) and adds the polarity rescue:
 PSNR < 13 dB -> score 1-x instead (:673-680).
+
+The whole per-batch pipeline (degrade, bilinear control, generator with
+per-batch BN stats, PSNR+SSIM sums) is ONE jitted program per config shape;
+the host only feeds batches and accumulates four floats.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +50,49 @@ class EvalResult:
                f"{self.ssim_generator:.8f}, train-Size: {n}")
 
 
+_EVAL_FN_CACHE: dict = {}
+
+
+def _eval_batch_fn(cfg, with_ssim):
+    """Build (and cache) the jitted per-batch eval program for a config."""
+    from ..models import apply_network, generator_spec
+
+    spec = generator_spec(cfg)
+    key = (cfg.variant, cfg.fineSize, cfg.patchSize, cfg.patch_based,
+           cfg.ngf, cfg.nc, with_ssim)
+    fn = _EVAL_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    fine, patch, patch_based = cfg.fineSize, cfg.patchSize, cfg.patch_based
+
+    def run(params, state, hr):
+        hr2d = hr[:, 0]
+        lr = box_downsample2(hr2d)
+        bil = resize_bilinear(lr, fine, fine)
+        if patch_based:
+            tiles = extract_grid_patches(hr2d, patch)
+            b, p2, p, _ = tiles.shape
+            lr_tiles = box_downsample2(tiles).reshape(b * p2, 1, p // 2, p // 2)
+            fk, _ = apply_network(spec, params, lr_tiles, state, train=True)
+            fake = reassemble_grid_patches(
+                fk[:, 0].reshape(b, p2, p, p), fine, fine)
+        else:
+            fk, _ = apply_network(spec, params, lr[:, None], state, train=True)
+            fake = fk[:, 0]
+        out = [cal_psnr_batch(hr2d, bil).sum(), cal_psnr_batch(hr2d, fake).sum()]
+        if with_ssim:
+            out += [cal_ssim_batch(hr2d, bil).sum(),
+                    cal_ssim_batch(hr2d, fake).sum()]
+        else:
+            out += [jnp.zeros(()), jnp.zeros(())]
+        return jnp.stack(out)
+
+    fn = jax.jit(run)
+    _EVAL_FN_CACHE[key] = fn
+    return fn
+
+
 def evaluate_slice(cfg, gen_fn, params, state, loader, file_sets, *,
                    batch_size=None, with_ssim=True):
     """Mean PSNR/SSIM over the given file_set indices.
@@ -52,29 +100,17 @@ def evaluate_slice(cfg, gen_fn, params, state, loader, file_sets, *,
     loader.load_batch(file_set, batch_size) -> (B, nc, H, W) in [0,1].
     For patch variants the generator runs per 8x8 tile and the image is
     reassembled before scoring (train-gray-patch-batch.lua:417-442).
+    `gen_fn` is accepted for API compatibility but the generator is rebuilt
+    from cfg inside the fused eval program (identical math).
     """
+    del gen_fn
     batch_size = batch_size or cfg.batchSize
+    run = _eval_batch_fn(cfg, with_ssim)
     tot = np.zeros(4)
     n = 0
     for fs in file_sets:
         hr = jnp.asarray(loader.load_batch(fs, batch_size))  # (B, nc, H, W)
-        hr2d = hr[:, 0]
-        lr = box_downsample2(hr2d)
-        bil = resize_bilinear(lr, cfg.fineSize, cfg.fineSize)
-        if cfg.patch_based:
-            tiles = extract_grid_patches(hr2d, cfg.patchSize)  # (B, P2, p, p)
-            b, p2, p, _ = tiles.shape
-            lr_tiles = box_downsample2(tiles).reshape(b * p2, 1, p // 2, p // 2)
-            fake_tiles = gen_fn(params, state, lr_tiles)[:, 0]
-            fake = reassemble_grid_patches(
-                fake_tiles.reshape(b, p2, p, p), cfg.fineSize, cfg.fineSize)
-        else:
-            fake = gen_fn(params, state, lr[:, None])[:, 0]
-        tot[0] += float(cal_psnr_batch(hr2d, bil).sum())
-        tot[1] += float(cal_psnr_batch(hr2d, fake).sum())
-        if with_ssim:
-            tot[2] += float(cal_ssim_batch(hr2d, bil).sum())
-            tot[3] += float(cal_ssim_batch(hr2d, fake).sum())
+        tot += np.asarray(run(params, state, hr))
         n += batch_size
     return EvalResult(psnr_bilinear=tot[0] / n, psnr_generator=tot[1] / n,
                       ssim_bilinear=tot[2] / n, ssim_generator=tot[3] / n,
