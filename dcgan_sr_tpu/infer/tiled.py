@@ -82,13 +82,17 @@ def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
     return {"tiles": fake_tiles, "naive": naive, "seam": seam}
 
 
-def make_overlap_sr_fn(cfg, *, compute_dtype=None):
+def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None):
     """One jitted program: batched overlap SR of (N, fine, fine) images ->
     dict of stacked naive and seam-stitched outputs.  The whole pipeline —
     tile extraction, per-tile box downsample, the batched generator over
     N*L*L tiles, the naive stitch and the scan-based seam DP — runs on
     device; nothing round-trips to the host (the reference crosses the
     device boundary once per image and stitches on the host, SURVEY.md §3.4).
+
+    With `mesh`, images shard over the data axis and each chip runs its
+    slice's full pipeline independently (the tiled-inference path sharded
+    over ICI — SURVEY.md §5 long-context row); params replicate.
     """
     from ..models import apply_network, generator_spec
     from .seam_device import seam_stitch_device
@@ -113,4 +117,20 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None):
             params, state, images)
         return {"naive": naive, "seam": seam}
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = cfg.data_axis
+    img_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    jitted = jax.jit(run, in_shardings=(rep, rep, img_sharding),
+                     out_shardings={"naive": img_sharding,
+                                    "seam": img_sharding})
+
+    def sharded_run(params, state, images):
+        images = jax.device_put(images, img_sharding)
+        return jitted(params, state, images)
+
+    return sharded_run
