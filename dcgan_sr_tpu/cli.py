@@ -60,7 +60,8 @@ def build_data(cfg, args):
         src = SyntheticImages(cfg.fineSize, nc=1 if cfg.nc == 1 else cfg.nc,
                               seed=cfg.manualSeed or 1234)
     else:
-        route = args.data_root or IndexedCelebA.__init__.__defaults__[0]
+        from .data.indexed import DEFAULT_ROUTE
+        route = args.data_root or DEFAULT_ROUTE
         src = None
         if getattr(args, "native_loader", False):
             from .data import native

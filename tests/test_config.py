@@ -1,0 +1,56 @@
+"""Config system: env parsing semantics, derived properties, variant table."""
+
+import math
+
+import pytest
+
+from dcgan_sr_tpu.core import Config, VARIANTS, apply_env_overrides, get_config
+
+
+def test_env_override_number_and_string():
+    cfg = Config()
+    out = apply_env_overrides(cfg, env={"lr": "0.001", "name": "run-x",
+                                        "batchSize": "64"})
+    assert out.lr == 0.001
+    assert out.name == "run-x"
+    assert out.batchSize == 64 and isinstance(out.batchSize, int)
+
+
+def test_env_override_ignores_unknown_keys():
+    out = apply_env_overrides(Config(), env={"HOME": "/root", "PATH": "x"})
+    assert out == apply_env_overrides(Config(), env={})
+
+
+def test_patch_properties():
+    cfg = get_config("gray-patch-batch", env_override=False)
+    assert cfg.patch_number == 64                # (64/8)^2
+    assert cfg.step_batch == 20 * 64             # 1280-patch effective batch
+    assert cfg.train_size == 8
+    cfg2 = get_config("gray-patch-batch-overlap", env_override=False)
+    assert cfg2.overlap_patch_line == 15         # (64-4)/(8-4)
+
+
+def test_full_image_properties():
+    cfg = get_config("gray-3", env_override=False)
+    assert cfg.step_batch == 100
+    assert cfg.train_size == 64
+
+
+def test_variant_table_complete():
+    assert set(VARIANTS) == {
+        "rgb-full", "gray", "gray-2", "gray-3", "gray-patch",
+        "gray-patch-batch", "gray-patch-batch-overlap"}
+    # rgb-full / gray train on the full dataset (ntrain = math.huge)
+    assert math.isinf(VARIANTS["rgb-full"].ntrain)
+    assert math.isinf(VARIANTS["gray"].ntrain)
+    # per-variant loss schemes
+    assert VARIANTS["rgb-full"].fake_label == "per_image_quarter_mse"
+    assert VARIANTS["gray"].fake_label == "per_image_mse"
+    assert VARIANTS["gray-3"].fake_label == 0.0
+
+
+def test_get_config_overrides_kwargs():
+    cfg = get_config("gray-3", env_override=False, ngf=32, batchSize=10)
+    assert cfg.ngf == 32 and cfg.batchSize == 10
+    with pytest.raises(TypeError):
+        get_config("gray-3", env_override=False, nonexistent_field=1)
