@@ -23,6 +23,9 @@ import jax.numpy as jnp
 from jax import lax
 
 _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
+# transposed-conv kernels stay in their torch (I, O, H, W) layout — XLA takes
+# IOHW dimension numbers directly, avoiding a per-step relayout transpose
+_DN_T = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "IOHW", "NCHW"))
 
 
 def _precision(compute_dtype):
@@ -66,8 +69,9 @@ def conv_transpose2d(x, w, stride=2, padding=1, *, compute_dtype=None):
     s = (stride, stride) if isinstance(stride, int) else stride
     if isinstance(padding, int):
         padding = (padding, padding)
-    # flip spatial dims, swap in/out channels -> OIHW for a forward conv
-    w_f = jnp.flip(w, axis=(2, 3)).transpose(1, 0, 2, 3)
+    # flip spatial dims only; the I/O swap is expressed via IOHW dimension
+    # numbers (a transpose here costs a full relayout pass every step)
+    w_f = jnp.flip(w, axis=(2, 3))
     pads = tuple((k - 1 - p, k - 1 - p) for k, p in zip((kh, kw), padding))
     prec = _precision(compute_dtype)
     if compute_dtype is not None:
@@ -75,11 +79,11 @@ def conv_transpose2d(x, w, stride=2, padding=1, *, compute_dtype=None):
         w_f = w_f.astype(compute_dtype)
         return lax.conv_general_dilated(
             x, w_f, window_strides=(1, 1), padding=pads,
-            lhs_dilation=s, dimension_numbers=_DN, precision=prec)
+            lhs_dilation=s, dimension_numbers=_DN_T, precision=prec)
     return lax.conv_general_dilated(
         x, w_f, window_strides=(1, 1), padding=pads,
         lhs_dilation=s,
-        dimension_numbers=_DN,
+        dimension_numbers=_DN_T,
         precision=prec,
         preferred_element_type=jnp.float32,
     )
