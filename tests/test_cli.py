@@ -43,6 +43,32 @@ def test_cli_checkpoint_resume(tmp_path):
     assert "resumed from epoch 1" in out2.stdout
 
 
+def test_cli_gray_folder_variant(tmp_path):
+    """The rgb2gray folder path (train-gray.lua shape) through the CLI."""
+    import numpy as np
+    from dcgan_sr_tpu.image.io import save_image
+    rng = np.random.RandomState(0)
+    root = tmp_path / "celeba"
+    (root / "faces").mkdir(parents=True)
+    for i in range(6):
+        save_image(str(root / "faces" / f"{i}.png"),
+                   rng.rand(3, 120, 100).astype(np.float32))
+    out = _run(["--config", "gray", "--steps", "1", "--epochs", "1",
+                "--data-root", str(root)],
+               env_extra={"nThreads": "2"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Epoch: [1][" in out.stdout
+
+
+def test_cli_pallas_preprocess(tmp_path):
+    """--use-pallas routes the degrade stage through the Pallas kernel
+    (interpret mode on the CPU backend)."""
+    out = _run(["--config", "gray-3", "--steps", "1", "--epochs", "1",
+                "--use-pallas"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Epoch: [1][" in out.stdout
+
+
 def test_cli_eval_and_samples(tmp_path):
     sdir = str(tmp_path / "samples")
     out = _run(["--config", "gray-3", "--steps", "1", "--epochs", "1",

@@ -49,6 +49,13 @@ def test_variant_table_complete():
     assert VARIANTS["gray-3"].fake_label == 0.0
 
 
+def test_gray2_ignores_env(monkeypatch):
+    """train-gray-2.lua has no env-override line; the config honors that."""
+    monkeypatch.setenv("batchSize", "7")
+    assert get_config("gray-2").batchSize == 100
+    assert get_config("gray-3").batchSize == 7
+
+
 def test_get_config_overrides_kwargs():
     cfg = get_config("gray-3", env_override=False, ngf=32, batchSize=10)
     assert cfg.ngf == 32 and cfg.batchSize == 10
