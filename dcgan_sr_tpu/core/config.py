@@ -56,6 +56,9 @@ class Config:
     # scale applied to the *reported* errD_real only (train-gray-2.lua:209
     # multiplies the printed loss by 100000 but backprops the unscaled one)
     report_scale_real: float = 1.0
+    # optional pixel-reconstruction term on G: errG += weight * MSE(fake, real)
+    # (no reference equivalent — the standard SR-GAN recipe; 0.0 = pure parity)
+    pixel_loss_weight: float = 0.0
     # data value range: "pm1" = [-1,1] (folder loader hflip/normalize path),
     # "01" = [0,1] (direct image.load path)
     data_range: str = "01"

@@ -147,6 +147,12 @@ def build_train_step(cfg, *, axis_name=None):
         # --- G loss: reuse D's fake-pass outputs/pullback (fGx, train.lua:256-272)
         err_g, g_cot = jax.value_and_grad(lambda o: crit(o, g_vec))(out_fake)
         _, dfake = d_fake_vjp(g_cot)
+        pixel_loss = jnp.zeros(())
+        if cfg.pixel_loss_weight > 0:
+            # surplus pixel-reconstruction term (not in the reference): the
+            # cotangent of w * mean((fake-hr)^2) adds directly to D's pullback
+            pixel_loss = jnp.mean((fake - hr) ** 2)
+            dfake = dfake + (cfg.pixel_loss_weight * 2.0 / fake.size) * (fake - hr)
         (gg,) = g_vjp(dfake)
 
         if axis_name is not None:
@@ -155,6 +161,7 @@ def build_train_step(cfg, *, axis_name=None):
             err_d_real = jax.lax.pmean(err_d_real, axis_name)
             err_d_fake = jax.lax.pmean(err_d_fake, axis_name)
             err_g = jax.lax.pmean(err_g, axis_name)
+            pixel_loss = jax.lax.pmean(pixel_loss, axis_name)
 
         d_params, d_opt = adam_update(state.d_params, gd, state.d_opt, **adam_kw)
         g_params, g_opt = adam_update(state.g_params, gg, state.g_opt, **adam_kw)
@@ -170,6 +177,7 @@ def build_train_step(cfg, *, axis_name=None):
             "errD_real_reported": err_d_real * cfg.report_scale_real,
             "errD_fake": err_d_fake,
             "errG": err_g,
+            "pixel_loss": pixel_loss,
         }
         return new_state, metrics
 
