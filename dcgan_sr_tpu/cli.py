@@ -166,6 +166,9 @@ def main(argv=None):
     ap.add_argument("--fast-ops", action="store_true",
                     help="sub-pixel/s2d conv rewrites (exact; measured slower "
                          "than XLA's emitter on this toolchain)")
+    ap.add_argument("--pixel-loss", type=float, default=None, metavar="W",
+                    help="add W * MSE(fake, real) to G's objective "
+                         "(surplus over the reference; ~+3 dB at W=100)")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (the TPU plugin ignores "
@@ -189,6 +192,8 @@ def main(argv=None):
         overrides["use_pallas"] = True
     if args.fast_ops:
         overrides["fast_ops"] = True
+    if args.pixel_loss is not None:
+        overrides["pixel_loss_weight"] = args.pixel_loss
     cfg = get_config(args.config, **overrides)
     if args.seed is not None:
         cfg.manualSeed = args.seed
