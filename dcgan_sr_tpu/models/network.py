@@ -87,15 +87,17 @@ def apply_network(spec, params, x, state=None, *, train=True, compute_dtype=None
                 if fast_ok:
                     x = F.conv2d_s2d(x, p["w"], compute_dtype=compute_dtype)
                 else:
-                    x = N.conv2d(x, p["w"], layer["s"], layer["p"],
-                                 compute_dtype=compute_dtype)
+                    # custom-VJP variant: activation grads route through the
+                    # sibling op (avoids XLA's big spatial reverses)
+                    x = N.conv2d_cv(x, p["w"], layer["s"], layer["p"],
+                                    compute_dtype)
             else:
                 if fast_ok:
                     x = F.conv_transpose2d_subpixel(
                         x, p["w"], compute_dtype=compute_dtype)
                 else:
-                    x = N.conv_transpose2d(x, p["w"], layer["s"], layer["p"],
-                                           compute_dtype=compute_dtype)
+                    x = N.conv_transpose2d_cv(x, p["w"], layer["s"],
+                                              layer["p"], compute_dtype)
             if layer.get("bn"):
                 x, bn_ns = N.batch_norm(
                     x, p["bn_scale"], p["bn_bias"],

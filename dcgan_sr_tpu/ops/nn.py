@@ -18,6 +18,8 @@ one XLA program; no data-dependent shapes anywhere.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -140,6 +142,103 @@ def batch_norm(x, scale, bias, *, state=None, train=True, eps=1e-5, momentum=0.1
         b = (bias - mean * inv * scale).astype(in_dtype)
         y = x * a[None, :, None, None] + b[None, :, None, None]
     return y, new_state
+
+
+# ---- custom-VJP conv pair -------------------------------------------------
+# JAX's generic conv transpose rules materialize spatial `reverse` ops on the
+# LARGE activation cotangents (profiled at ~2.5 ms/step on the gray-3
+# hourglass).  The k-s-p conv/conv-transpose pair are exact adjoints of each
+# other with the SAME stored weights (no flip, no transpose):
+#     d/dx conv2d(x, w, s, p)          = conv_transpose2d(dy, w, s, p)
+#     d/dx conv_transpose2d(x, w, s, p) = conv2d(dy, w, s, p)
+# (weight layouts line up because conv stores (O,I,kh,kw) and conv-transpose
+# (I,O,kh,kw)).  These wrappers hand-route the activation gradient through the
+# sibling op and keep autodiff only for the (tiny) weight gradient.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv2d_cv(x, w, stride, padding, compute_dtype):
+    return conv2d(x, w, stride, padding, compute_dtype=compute_dtype)
+
+
+def _conv2d_cv_fwd(x, w, stride, padding, compute_dtype):
+    return conv2d_cv(x, w, stride, padding, compute_dtype), (x, w)
+
+
+_DN_DW = None  # built lazily: ("CNHW", "IOHW", "CNHW") — batch is contracted
+
+
+def _dw_dims():
+    global _DN_DW
+    if _DN_DW is None:
+        _DN_DW = lax.conv_dimension_numbers(
+            (1, 1, 1, 1), (1, 1, 1, 1), ("CNHW", "IOHW", "CNHW"))
+    return _DN_DW
+
+
+def _dw_conv(long, short, k, s, p, compute_dtype):
+    """Weight grad as a dilated conv with NO spatial reverses:
+    dw[a, b, t] = sum_{batch, j} long[batch, a, s*j + t - p] short[batch, b, j].
+    `long` is the higher-resolution tensor, `short` the kernel-like one."""
+    prec = _precision(compute_dtype)
+    if compute_dtype is not None:
+        long = long.astype(compute_dtype)
+        short = short.astype(compute_dtype)
+    # geometry long == s*short (the k4s2p1 pair): the last tap needs
+    # s*(short-1) + k-1-p - (long-1) = k - 2 - p of high padding
+    pad_hi = k - 2 - p
+    return lax.conv_general_dilated(
+        long, short, window_strides=(1, 1),
+        padding=((p, pad_hi), (p, pad_hi)),
+        rhs_dilation=(s, s), dimension_numbers=_dw_dims(),
+        precision=prec,
+        preferred_element_type=jnp.float32)
+
+
+def _conv2d_cv_bwd(stride, padding, compute_dtype, res, dy):
+    x, w = res
+    k = w.shape[-1]
+    dx = conv_transpose2d(dy, w, stride, padding, compute_dtype=compute_dtype)
+    if stride == 2 and k == 4 and padding == 1:
+        # out spec "CNHW": C = rhs O (= dy's Co), N = lhs N (= x's Ci)
+        # -> (Co, Ci, k, k), exactly conv2d's weight layout
+        dw = _dw_conv(x, dy, k, stride, padding, compute_dtype).astype(w.dtype)
+    else:
+        _, w_vjp = jax.vjp(
+            lambda w_: conv2d(x, w_, stride, padding,
+                              compute_dtype=compute_dtype), w)
+        (dw,) = w_vjp(dy)
+    return dx.astype(x.dtype), dw
+
+
+conv2d_cv.defvjp(_conv2d_cv_fwd, _conv2d_cv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv_transpose2d_cv(x, w, stride, padding, compute_dtype):
+    return conv_transpose2d(x, w, stride, padding, compute_dtype=compute_dtype)
+
+
+def _convT_cv_fwd(x, w, stride, padding, compute_dtype):
+    return conv_transpose2d_cv(x, w, stride, padding, compute_dtype), (x, w)
+
+
+def _convT_cv_bwd(stride, padding, compute_dtype, res, dy):
+    x, w = res
+    k = w.shape[-1]
+    dx = conv2d(dy, w, stride, padding, compute_dtype=compute_dtype)
+    if stride == 2 and k == 4 and padding == 1:
+        # long=dy, short=x -> (Ci, Co, k, k), conv-transpose's weight layout
+        dw = _dw_conv(dy, x, k, stride, padding, compute_dtype).astype(w.dtype)
+    else:
+        _, w_vjp = jax.vjp(
+            lambda w_: conv_transpose2d(x, w_, stride, padding,
+                                        compute_dtype=compute_dtype), w)
+        (dw,) = w_vjp(dy)
+    return dx.astype(x.dtype), dw
+
+
+conv_transpose2d_cv.defvjp(_convT_cv_fwd, _convT_cv_bwd)
 
 
 def relu(x):
