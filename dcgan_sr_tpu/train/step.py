@@ -185,5 +185,6 @@ def build_train_step(cfg, *, axis_name=None):
 
 
 def jit_train_step(cfg, **jit_kw):
+    """Convenience: the single-device step jitted with state donation."""
     step = build_train_step(cfg)
     return jax.jit(step, donate_argnums=(0,), **jit_kw)
