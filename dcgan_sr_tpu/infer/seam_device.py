@@ -54,10 +54,15 @@ def _backtrack(path):
     start = (v - 1) - jnp.argmax(eq[:, ::-1], axis=-1) + 1  # 1-based
 
     def step(nb, row):
-        # row: (N, V) path values at this a; nb: (N,) 1-based next index
+        # row: (N, V) path values at this a; nb: (N,) 1-based next index.
+        # V is tiny (the overlap width, typically 4): branchless selects beat
+        # gathers on TPU by a wide margin.
         def gather(idx):  # 1-based, clamped
-            return jnp.take_along_axis(
-                row, jnp.clip(idx - 1, 0, v - 1)[:, None], axis=1)[:, 0]
+            ic = jnp.clip(idx - 1, 0, v - 1)
+            out = row[:, 0]
+            for j in range(1, v):
+                out = jnp.where(ic == j, row[:, j], out)
+            return out
 
         at = gather(nb)
         below = gather(nb - 1)
