@@ -1,0 +1,63 @@
+"""tools/upscale.py end-to-end: npz and .t7 checkpoint paths (subprocess)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    import jax
+    from dcgan_sr_tpu.compat import save_t7
+    from dcgan_sr_tpu.core import get_config
+    from dcgan_sr_tpu.image.io import save_image
+    from dcgan_sr_tpu.train import init_train_state
+    from dcgan_sr_tpu.train.checkpoint import save_checkpoint
+
+    d = tmp_path_factory.mktemp("upscale")
+    save_image(str(d / "in.png"),
+               np.random.RandomState(0).rand(3, 70, 70).astype(np.float32))
+    cfg = get_config("gray-3", env_override=False, ngf=4, ndf=8)
+    st = init_train_state(cfg, jax.random.PRNGKey(0))
+    save_checkpoint(str(d), cfg.name, 1, st)
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_t7 import _fake_reference_netG
+    cfg_ov = get_config("gray-patch-batch-overlap", env_override=False, ngf=4)
+    net, _ = _fake_reference_netG(cfg_ov)
+    save_t7(str(d / "ref_net_G.t7"), net)
+    return d
+
+
+def _run(args):
+    env = dict(os.environ, ngf="4", ndf="8",
+               JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_cache"))
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "upscale.py"), "--cpu"]
+        + args, capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
+
+
+def test_upscale_npz(assets):
+    out_png = str(assets / "out.png")
+    r = _run(["--config", "gray-3",
+              "--ckpt", str(assets / "dcgan-sr-tpu_1_net_G.npz"),
+              "--input", str(assets / "in.png"), "--output", out_png])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loaded checkpoint" in r.stdout and "PSNR(G)=" in r.stdout
+    assert os.path.isfile(out_png)
+
+
+def test_upscale_t7_overlap(assets):
+    out_png = str(assets / "out2.png")
+    r = _run(["--config", "gray-patch-batch-overlap", "--mode", "overlap",
+              "--t7", str(assets / "ref_net_G.t7"),
+              "--input", str(assets / "in.png"), "--output", out_png])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loaded Torch checkpoint" in r.stdout
+    assert "mode=overlap" in r.stdout
+    assert os.path.isfile(out_png)
