@@ -79,3 +79,13 @@ def test_cli_eval_and_samples(tmp_path):
     assert os.path.isfile(os.path.join(sdir, "fake_none_sample.png"))
     assert os.path.isfile(os.path.join(sdir, "real_bilinear_sample.png"))
     assert "real_none_sample-max" in out.stdout  # tensor-stats telemetry
+
+
+def test_cli_patch_eval_protocol(tmp_path):
+    """--eval on a patch variant drives the per-tile eval + reassembly path
+    (file_set 10000+ test slice, train-gray-patch-batch.lua:489)."""
+    out = _run(["--config", "gray-patch-batch", "--steps", "1", "--epochs",
+                "1", "--eval", "--eval-sets", "1"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "[Train-set] PSNR btwn real_none & real_bilinear" in out.stdout
+    assert "[Test-set] PSNR btwn real_none & fake_none" in out.stdout
