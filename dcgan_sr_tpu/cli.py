@@ -43,12 +43,18 @@ def build_data(cfg, args):
         if os.path.isdir(root):
             ds = FolderDataset(root, cfg.loadSize, cfg.fineSize, cfg.nc,
                                verbose=True)
-            loader = PrefetchLoader(lambda rng: ds.sample(cfg.batchSize, rng),
-                                    n_threads=cfg.nThreads,
-                                    manual_seed=cfg.manualSeed or 0)
+            dev_pre = cfg.device_preprocess
+            loader = PrefetchLoader(
+                lambda rng: ds.sample(cfg.batchSize, rng,
+                                      normalize=not dev_pre),
+                n_threads=cfg.nThreads, manual_seed=cfg.manualSeed or 0)
 
             def batch_fn(epoch, i):
-                rgb = loader.get_batch()  # (B, 3, H, W) in [-1, 1]
+                rgb = loader.get_batch()  # (B, 3, H, W)
+                if dev_pre:
+                    # raw [0,1] RGB: the fused Pallas preprocess inside the
+                    # train step handles gray-convert + normalize + degrade
+                    return rgb
                 if cfg.nc == 1:
                     return np.asarray(rgb2gray(rgb))[:, None]
                 return rgb
@@ -163,6 +169,9 @@ def main(argv=None):
                     help="bfloat16 compute (fp32 params)")
     ap.add_argument("--use-pallas", action="store_true",
                     help="fused Pallas preprocess kernel in the train step")
+    ap.add_argument("--device-preprocess", action="store_true",
+                    help="feed raw [0,1] images; grayscale-convert/normalize/"
+                         "degrade run fused on device (folder variants)")
     ap.add_argument("--fast-ops", action="store_true",
                     help="sub-pixel/s2d conv rewrites (exact; measured slower "
                          "than XLA's emitter on this toolchain)")
@@ -194,6 +203,8 @@ def main(argv=None):
         overrides["fast_ops"] = True
     if args.pixel_loss is not None:
         overrides["pixel_loss_weight"] = args.pixel_loss
+    if args.device_preprocess:
+        overrides["device_preprocess"] = True
     cfg = get_config(args.config, **overrides)
     if args.seed is not None:
         cfg.manualSeed = args.seed

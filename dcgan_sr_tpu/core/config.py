@@ -72,6 +72,11 @@ class Config:
     data_axis: str = "data"          # mesh axis name for data parallelism
     use_pallas: bool = False         # fused Pallas kernels for hot ops
     fast_ops: bool = False           # sub-pixel/s2d conv rewrites (ops/fast.py)
+    # device_preprocess: the train step receives RAW [0,1] images (RGB for
+    # nc=1 variants) and performs grayscale-convert + normalize + degrade on
+    # device in one fused pass — the donkey hook's post-decode work moved
+    # on-chip (north star; donkey_folder.lua:52-70)
+    device_preprocess: bool = False
 
     # ------------------------------------------------------------------
     @property

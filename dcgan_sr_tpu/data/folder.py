@@ -120,7 +120,14 @@ class FolderDataset:
             out_w, out_h = max(int(round(ls * w / h)), ls), ls
         return _resize_chw(img, out_h, out_w)
 
-    def train_hook(self, path, rng):
+    def train_hook(self, path, rng, normalize=True):
+        """Decode + aspect resize + random crop + hflip (+ [0,1]->[-1,1]).
+
+        normalize=False leaves raw [0,1] RGB for the device-side preprocess
+        path (cfg.device_preprocess: convert/normalize happen on-chip).
+        The gray variant converts AFTER the hook with .21/.72/.07 weights
+        (train-gray.lua:220-222), so 3 channels are always returned here.
+        """
         img = self._load_resized(path)
         h, w = img.shape[-2], img.shape[-1]
         fs = self.fine_size
@@ -131,15 +138,12 @@ class FolderDataset:
         out = img[:, h1:h1 + fs, w1:w1 + fs]
         if rng.rand() > 0.5:
             out = out[:, :, ::-1]
-        out = out * 2.0 - 1.0  # [0,1] -> [-1,1]
-        if self.nc == 1:
-            # gray variant converts AFTER the hook with .21/.72/.07 weights
-            # (train-gray.lua:220-222); keep 3 channels here, convert upstream
-            pass
+        if normalize:
+            out = out * 2.0 - 1.0  # [0,1] -> [-1,1]
         return np.ascontiguousarray(out, np.float32)
 
     # ---- balanced sampler (dataset.lua:313-347) ----------------------------
-    def sample(self, batch_size, rng=None):
+    def sample(self, batch_size, rng=None, normalize=True):
         rng = rng or np.random.RandomState()
         by_class = {}
         for p, l in zip(self.paths, self.labels):
@@ -149,7 +153,7 @@ class FolderDataset:
         for i in range(batch_size):
             cls = class_ids[rng.randint(len(class_ids))]
             path = by_class[cls][rng.randint(len(by_class[cls]))]
-            out[i] = self.train_hook(path, rng)
+            out[i] = self.train_hook(path, rng, normalize=normalize)
         return out
 
     def get(self, i1, i2, rng=None):

@@ -92,15 +92,20 @@ def build_train_step(cfg, *, axis_name=None):
     adam_kw = dict(lr=cfg.lr, beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps)
 
     use_pallas = cfg.use_pallas
+    device_preprocess = cfg.device_preprocess
+    rgb_to_gray = device_preprocess and cfg.nc == 1
+    to_pm1 = device_preprocess and cfg.data_range == "pm1"
 
     def step(state: TrainState, hr):
-        if use_pallas:
-            # fused device-side preprocess (ops/pallas_kernels.py); interpret
-            # mode keeps CPU test meshes working
+        if use_pallas or device_preprocess:
+            # fused device-side preprocess (ops/pallas_kernels.py): optional
+            # rgb->gray + [0,1]->[-1,1] + 2x2 degrade in one HBM pass;
+            # interpret mode keeps CPU test meshes working
             import jax as _jax
             from ..ops.pallas_kernels import pallas_preprocess
-            _, lr_img = pallas_preprocess(
-                hr, interpret=_jax.default_backend() != "tpu")
+            hr, lr_img = pallas_preprocess(
+                hr, rgb_to_gray=rgb_to_gray, to_pm1=to_pm1,
+                interpret=_jax.default_backend() != "tpu")
         else:
             lr_img = box_downsample2(hr)
 
