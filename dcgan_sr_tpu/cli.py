@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from .core import get_config
-from .data import FolderDataset, IndexedCelebA, PrefetchLoader, SyntheticImages
+from .data import (FolderDataset, IndexedCelebA, PrefetchLoader,
+                   SyntheticImages, TexturedImages)
 from .evaluation import evaluate_slice
 from .image import box_downsample2, resize_bilinear
 from .image.io import save_display
@@ -37,7 +38,8 @@ from .train.checkpoint import latest_epoch, load_checkpoint
 
 def build_data(cfg, args):
     """Returns (loader, batch_fn(epoch, step) -> (step_batch, nc, hw, hw))."""
-    if cfg.dataset == "folder" and not args.synthetic:
+    if (cfg.dataset == "folder" and not args.synthetic
+            and not getattr(args, "textured", False)):
         root = args.data_root or os.environ.get(
             "DATA_ROOT", "/CelebA/Img/img_align_celeba")
         if os.path.isdir(root):
@@ -62,7 +64,10 @@ def build_data(cfg, args):
         print(f"DATA_ROOT {root} not found; falling back to synthetic data")
 
     # indexed / synthetic path (sequential file order like train-gray-3)
-    if args.synthetic or cfg.dataset == "synthetic":
+    if getattr(args, "textured", False):
+        src = TexturedImages(cfg.fineSize, nc=1 if cfg.nc == 1 else cfg.nc,
+                             seed=1234)  # fixed seed: a *fixture* set
+    elif args.synthetic or cfg.dataset == "synthetic":
         src = SyntheticImages(cfg.fineSize, nc=1 if cfg.nc == 1 else cfg.nc,
                               seed=cfg.manualSeed or 1234)
     else:
@@ -155,6 +160,10 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--textured", action="store_true",
+                    help="texture-rich procedural fixture set (fixed seed "
+                         "1234) where bilinear is beatable — the quality-"
+                         "parity protocol data")
     ap.add_argument("--native-loader", action="store_true",
                     help="decode via the C++ worker-pool loader (make -C native)")
     ap.add_argument("--checkpoint-dir", default=None)
@@ -172,6 +181,9 @@ def main(argv=None):
     ap.add_argument("--device-preprocess", action="store_true",
                     help="feed raw [0,1] images; grayscale-convert/normalize/"
                          "degrade run fused on device (folder variants)")
+    ap.add_argument("--compact-params", action="store_true",
+                    help="2-D master-weight layout: Adam's elementwise "
+                         "passes run on exactly-tiled tensors (ops/compact.py)")
     ap.add_argument("--fast-ops", action="store_true",
                     help="sub-pixel/s2d conv rewrites (exact; measured slower "
                          "than XLA's emitter on this toolchain)")
@@ -205,6 +217,8 @@ def main(argv=None):
         overrides["pixel_loss_weight"] = args.pixel_loss
     if args.device_preprocess:
         overrides["device_preprocess"] = True
+    if args.compact_params:
+        overrides["compact_params"] = True
     cfg = get_config(args.config, **overrides)
     if args.seed is not None:
         cfg.manualSeed = args.seed
@@ -258,6 +272,13 @@ def main(argv=None):
                                 log_every=args.log_every)
     if logger is not None:
         logger.close()
+
+    if cfg.compact_params:
+        # eval/inference/export consume 4-D conv weights
+        from .models import discriminator_spec, generator_spec
+        from .ops.compact import unpack_state
+        state = unpack_state(state, generator_spec(cfg),
+                             discriminator_spec(cfg))
 
     if args.do_eval:
         if hasattr(loader, "load_batch"):

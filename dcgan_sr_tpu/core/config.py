@@ -77,6 +77,11 @@ class Config:
     # device in one fused pass — the donkey hook's post-decode work moved
     # on-chip (north star; donkey_folder.lua:52-70)
     device_preprocess: bool = False
+    # compact_params: store master weights (and Adam moments) as 2-D
+    # (dim0, rest) matrices so the optimizer's elementwise passes run on
+    # exactly-tiled tensors instead of ~64x-padded 4-D conv layouts
+    # (ops/compact.py; the torch getParameters analogue, train.lua:202-203)
+    compact_params: bool = False
 
     # ------------------------------------------------------------------
     @property

@@ -25,6 +25,14 @@ from ..image.ops import _bilinear_matrix
 _EXTS = {".jpg", ".jpeg", ".png", ".ppm", ".bmp"}
 
 
+def crop_start(rng, dim, fs):
+    """Random crop start offset (donkey_folder.lua:57-62): the reference draws
+    h1 = math.ceil(torch.uniform(1e-2, dim-fs)) in {1..dim-fs} and passes it
+    to image.crop, whose offsets are 0-BASED (dst(y,x) = src(y+y1, x+x1) in
+    the image C lib) — so offset 0 is never sampled and dim-fs is the max."""
+    return int(np.ceil(rng.uniform(1e-2, dim - fs))) if dim > fs else 0
+
+
 def _resize_chw(chw, out_h, out_w):
     """Host-side bilinear resize using the same endpoint-aligned matrices as
     the device op (image/ops.py) — one resize algorithm everywhere."""
@@ -131,10 +139,8 @@ class FolderDataset:
         img = self._load_resized(path)
         h, w = img.shape[-2], img.shape[-1]
         fs = self.fine_size
-        # random crop: ceil(uniform(1e-2, dim-fs)) in 1-based Lua is a
-        # 0-based start in [0, dim-fs] here
-        h1 = int(rng.randint(0, h - fs + 1)) if h > fs else 0
-        w1 = int(rng.randint(0, w - fs + 1)) if w > fs else 0
+        h1 = crop_start(rng, h, fs)
+        w1 = crop_start(rng, w, fs)
         out = img[:, h1:h1 + fs, w1:w1 + fs]
         if rng.rand() > 0.5:
             out = out[:, :, ::-1]

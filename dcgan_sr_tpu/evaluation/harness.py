@@ -53,18 +53,41 @@ class EvalResult:
 _EVAL_FN_CACHE: dict = {}
 
 
-def _eval_batch_fn(cfg, with_ssim):
-    """Build (and cache) the jitted per-batch eval program for a config."""
+def _eval_batch_fn(cfg, with_ssim, gen_fn=None):
+    """Build (and cache) the jitted per-batch eval program for a config.
+
+    gen_fn(params, state, lr_batch) -> hr_batch overrides the generator
+    (e.g. a bf16 or t7-imported apply fn); None rebuilds from cfg."""
     from ..models import apply_network, generator_spec
 
-    spec = generator_spec(cfg)
     key = (cfg.variant, cfg.fineSize, cfg.patchSize, cfg.patch_based,
            cfg.ngf, cfg.nc, with_ssim)
-    fn = _EVAL_FN_CACHE.get(key)
+    if gen_fn is None:
+        cache = _EVAL_FN_CACHE
+    else:
+        # per-function cache so two different gen_fns never collide (and a
+        # dead function's id can't alias a live one's cache entry)
+        try:
+            cache = gen_fn._eval_cache
+        except AttributeError:
+            cache = {}
+            try:
+                gen_fn._eval_cache = cache
+            except AttributeError:
+                pass  # unsettable callable: compile fresh each call
+    fn = cache.get(key)
     if fn is not None:
         return fn
 
     fine, patch, patch_based = cfg.fineSize, cfg.patchSize, cfg.patch_based
+    if gen_fn is None:
+        spec = generator_spec(cfg)
+
+        def apply_gen(params, state, x):
+            out, _ = apply_network(spec, params, x, state, train=True)
+            return out
+    else:
+        apply_gen = gen_fn
 
     def run(params, state, hr):
         hr2d = hr[:, 0]
@@ -74,11 +97,11 @@ def _eval_batch_fn(cfg, with_ssim):
             tiles = extract_grid_patches(hr2d, patch)
             b, p2, p, _ = tiles.shape
             lr_tiles = box_downsample2(tiles).reshape(b * p2, 1, p // 2, p // 2)
-            fk, _ = apply_network(spec, params, lr_tiles, state, train=True)
+            fk = apply_gen(params, state, lr_tiles)
             fake = reassemble_grid_patches(
                 fk[:, 0].reshape(b, p2, p, p), fine, fine)
         else:
-            fk, _ = apply_network(spec, params, lr[:, None], state, train=True)
+            fk = apply_gen(params, state, lr[:, None])
             fake = fk[:, 0]
         out = [cal_psnr_batch(hr2d, bil).sum(), cal_psnr_batch(hr2d, fake).sum()]
         if with_ssim:
@@ -89,7 +112,7 @@ def _eval_batch_fn(cfg, with_ssim):
         return jnp.stack(out)
 
     fn = jax.jit(run)
-    _EVAL_FN_CACHE[key] = fn
+    cache[key] = fn
     return fn
 
 
@@ -100,12 +123,12 @@ def evaluate_slice(cfg, gen_fn, params, state, loader, file_sets, *,
     loader.load_batch(file_set, batch_size) -> (B, nc, H, W) in [0,1].
     For patch variants the generator runs per 8x8 tile and the image is
     reassembled before scoring (train-gray-patch-batch.lua:417-442).
-    `gen_fn` is accepted for API compatibility but the generator is rebuilt
-    from cfg inside the fused eval program (identical math).
+    `gen_fn(params, state, lr_batch) -> hr_batch` is the generator used
+    inside the fused eval program (so bf16 / t7-imported generators score
+    as themselves); pass None to rebuild the fp32 generator from cfg.
     """
-    del gen_fn
     batch_size = batch_size or cfg.batchSize
-    run = _eval_batch_fn(cfg, with_ssim)
+    run = _eval_batch_fn(cfg, with_ssim, gen_fn)
     tot = np.zeros(4)
     n = 0
     for fs in file_sets:

@@ -132,8 +132,10 @@ def random_crop_hflip(key, batch, fine):
 
     b, _, h, w = batch.shape
     k1, k2, k3 = jax.random.split(key, 3)
-    tops = jax.random.randint(k1, (b,), 0, h - fine + 1)
-    lefts = jax.random.randint(k2, (b,), 0, w - fine + 1)
+    # reference offset range: ceil(uniform(1e-2, dim-fine)) = {1..dim-fine},
+    # 0-based in image.crop — offset 0 is never sampled (donkey:57-62)
+    tops = jax.random.randint(k1, (b,), min(1, h - fine), h - fine + 1)
+    lefts = jax.random.randint(k2, (b,), min(1, w - fine), w - fine + 1)
     flips = jax.random.bernoulli(k3, 0.5, (b,))
 
     def one(img, top, left, flip):

@@ -63,10 +63,17 @@ def init_train_state(cfg, key):
     g_spec, d_spec = generator_spec(cfg), discriminator_spec(cfg)
     g_params, g_state = init_network(kg, g_spec)
     d_params, d_state = init_network(kd, d_spec)
-    return TrainState(
+    state = TrainState(
         g_params=g_params, g_state=g_state, g_opt=adam_init(g_params),
         d_params=d_params, d_state=d_state, d_opt=adam_init(d_params),
     )
+    if getattr(cfg, "compact_params", False):
+        # padding-friendly 2-D master weights (ops/compact.py); checkpoints
+        # written under this flag store the packed layout — resume with the
+        # same flag, or unpack_state for eval/inference interchange
+        from ..ops.compact import pack_state
+        state = pack_state(state, g_spec, d_spec)
+    return state
 
 
 def build_train_step(cfg, *, axis_name=None):
@@ -91,6 +98,17 @@ def build_train_step(cfg, *, axis_name=None):
     fast = cfg.fast_ops
     adam_kw = dict(lr=cfg.lr, beta1=cfg.beta1, beta2=cfg.beta2, eps=cfg.eps)
 
+    if getattr(cfg, "compact_params", False):
+        from ..ops.compact import unpack_params
+
+        def unpack_g(pg):
+            return unpack_params(pg, g_spec)
+
+        def unpack_d(pd):
+            return unpack_params(pd, d_spec)
+    else:
+        unpack_g = unpack_d = lambda p: p  # noqa: E731
+
     use_pallas = cfg.use_pallas
     device_preprocess = cfg.device_preprocess
     rgb_to_gray = device_preprocess and cfg.nc == 1
@@ -111,7 +129,7 @@ def build_train_step(cfg, *, axis_name=None):
 
         # --- G forward (single forward, pullback shared with the G update) --
         def g_fwd(pg):
-            fake, gs = apply_network(g_spec, pg, lr_img, state.g_state,
+            fake, gs = apply_network(g_spec, unpack_g(pg), lr_img, state.g_state,
                                      train=True, compute_dtype=compute_dtype,
                                      axis_name=axis_name, fast=fast)
             return fake, gs
@@ -120,7 +138,7 @@ def build_train_step(cfg, *, axis_name=None):
 
         # --- D on real (own batch stats; first running-stat update) ---------
         def d_real_loss(pd):
-            out, ds = apply_network(d_spec, pd, hr, state.d_state,
+            out, ds = apply_network(d_spec, unpack_d(pd), hr, state.d_state,
                                     train=True, compute_dtype=compute_dtype,
                                     axis_name=axis_name, fast=fast)
             real_vec = jnp.full(out.shape, cfg.real_label, jnp.float32)
@@ -135,7 +153,7 @@ def build_train_step(cfg, *, axis_name=None):
         fake_vec = jax.lax.stop_gradient(fake_vec)
 
         def d_fake_fwd(pd, x):
-            out, ds = apply_network(d_spec, pd, x, d_state_mid,
+            out, ds = apply_network(d_spec, unpack_d(pd), x, d_state_mid,
                                     train=True, compute_dtype=compute_dtype,
                                     axis_name=axis_name, fast=fast)
             return out, ds

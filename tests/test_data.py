@@ -51,6 +51,18 @@ def test_train_hook_semantics(image_tree, tmp_path):
     assert out.min() >= -1.0 and out.max() <= 1.0 and out.min() < 0
 
 
+def test_train_hook_crop_range():
+    """Crop offsets replicate ceil(uniform(1e-2, dim-fs)): 0-based starts in
+    [1, dim-fs] (image.crop offsets are 0-based; donkey_folder.lua:57-62) —
+    offset 0 never sampled, offset dim-fs reachable."""
+    from dcgan_sr_tpu.data.folder import crop_start
+    rng = np.random.RandomState(3)
+    starts = {crop_start(rng, 96, 64) for _ in range(2000)}
+    assert min(starts) == 1 and max(starts) == 32
+    assert starts == set(range(1, 33))
+    assert crop_start(rng, 64, 64) == 0  # no slack -> offset 0
+
+
 def test_folder_sample_batch(image_tree, tmp_path):
     ds = FolderDataset(image_tree, load_size=24, fine_size=16,
                        cache_dir=str(tmp_path / "c"))

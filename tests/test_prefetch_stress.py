@@ -49,6 +49,49 @@ def test_close_joins_workers():
     assert all(not t.is_alive() for t in loader._threads)
 
 
+def test_strict_two_thread_reproducible():
+    """Reference discipline (data.lua:59-62,82-93): n jobs in flight, one
+    enqueued per get, results in job order.  With round-robin dispatch a
+    seeded two-thread run must reproduce exactly."""
+    def sample(rng):
+        return np.array([rng.randint(0, 1 << 30)])
+
+    def run():
+        with PrefetchLoader(sample, n_threads=2, manual_seed=11,
+                            strict=True) as loader:
+            return [int(loader.get_batch()[0]) for _ in range(20)]
+
+    a, b = run(), run()
+    assert a == b
+    # job i goes to worker (i % 2), workers seeded manual_seed+1/+2:
+    # result sequence must interleave the two per-worker streams
+    s1 = np.random.RandomState(12)
+    s2 = np.random.RandomState(13)
+    expect = []
+    for i in range(20):
+        expect.append(int((s1 if i % 2 == 0 else s2).randint(0, 1 << 30)))
+    assert a == expect
+
+
+def test_strict_bounded_in_flight():
+    """At most n_threads jobs are ever admitted beyond those consumed."""
+    import threading as th
+    counter = {"n": 0}
+    lock = th.Lock()
+
+    def sample(rng):
+        with lock:
+            counter["n"] += 1
+        return rng.rand(1)
+
+    with PrefetchLoader(sample, n_threads=3, manual_seed=5,
+                        strict=True) as loader:
+        for _ in range(30):
+            loader.get_batch()
+        time.sleep(0.1)  # let in-flight prefetch jobs drain
+        assert counter["n"] <= 30 + 3  # 30 consumed + n prefetched, never more
+
+
 def test_per_worker_seed_streams_disjoint():
     """Workers are seeded manualSeed+idx (data.lua:35-36): their first draws
     must all differ."""
