@@ -1,15 +1,18 @@
 #!/usr/bin/env python3
-"""Benchmark: training throughput (images/sec) of the flagship gray-3 config
-on one TPU chip, vs the reference's CPU throughput.
+"""Benchmark: training throughput (images/sec) on one TPU chip vs the
+reference's CPU throughput, for the flagship shapes:
+
+  gray-3           batch 100 of 64x64 gray    (train-gray-3.lua geometry)
+  rgb-full         batch 100 of 64x64 RGB     (train.lua geometry)
+  gray-patch-batch 1,280-patch effective batch of 8x8 (patch-batch geometry)
 
 The reference publishes no numbers (BASELINE.md); the north-star target is
->10x its CPU images/sec.  The baseline here is a faithful torch-CPU
-re-enactment of the reference's per-step work (fDx: D fwd/bwd real, box
-downsample, G fwd, D fwd/bwd fake; fGx: backprop through D into G; two Adam
-updates — train-gray-3.lua:229-328), measured once and cached in
-BASELINE_MEASURED.json.
+>10x its CPU images/sec.  Each baseline is a faithful torch-CPU re-enactment
+of the reference's per-step work (fDx: D fwd/bwd real, box downsample, G fwd,
+D fwd/bwd fake; fGx: backprop through D into G; two Adam updates —
+train-gray-3.lua:229-328), measured once and cached in BASELINE_MEASURED.json.
 
-Prints ONE JSON line:
+Prints one JSON line per config; the FLAGSHIP (gray-3) line is LAST:
   {"metric": "train_images_per_sec", "value": N, "unit": "images/sec",
    "vs_baseline": N}
 """
@@ -26,65 +29,56 @@ STEPS = 20
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
 
+# variant -> (config overrides, per-step input shape, images per step)
+SHAPES = {
+    "gray-3": (dict(batchSize=BATCH), (BATCH, 1, 64, 64), BATCH),
+    "rgb-full": (dict(batchSize=BATCH), (BATCH, 3, 64, 64), BATCH),
+    # 20 images x 64 patches = 1,280-patch effective batch
+    # (train-gray-patch-batch.lua:10,21,113-122); throughput counted in
+    # images like the reference's epoch accounting
+    "gray-patch-batch": (dict(), (1280, 1, 8, 8), 20),
+}
 
-def measure_torch_cpu_baseline(batch=BATCH, steps=3):
+
+def measure_torch_cpu_baseline(variant, steps=3):
     """Reference per-step work in torch-CPU (same models, losses, optimizer)."""
     import numpy as np
     import torch
     import torch.nn as nn
 
+    from dcgan_sr_tpu.compat.pytorch_bridge import spec_to_torch
+    from dcgan_sr_tpu.core import get_config
+    from dcgan_sr_tpu.models import discriminator_spec, generator_spec
+
     torch.manual_seed(0)
     torch.set_num_threads(os.cpu_count() or 1)
-    ngf, ndf = 8, 64
-
-    class Flatten(nn.Module):
-        def forward(self, x):
-            return x.reshape(x.shape[0])
-
-    netG = nn.Sequential(  # train-gray-3.lua:52-73
-        nn.UpsamplingNearest2d(scale_factor=2),
-        nn.ConvTranspose2d(1, ngf * 4, 4, 2, 1, bias=False),
-        nn.BatchNorm2d(ngf * 4), nn.ReLU(True),
-        nn.ConvTranspose2d(ngf * 4, ngf * 2, 4, 2, 1, bias=False),
-        nn.BatchNorm2d(ngf * 2), nn.ReLU(True),
-        nn.ConvTranspose2d(ngf * 2, ngf, 4, 2, 1, bias=False),
-        nn.BatchNorm2d(ngf), nn.ReLU(True),
-        nn.Conv2d(ngf, ngf * 2, 4, 2, 1, bias=False),
-        nn.BatchNorm2d(ngf * 2), nn.ReLU(True),
-        nn.Conv2d(ngf * 2, ngf * 4, 4, 2, 1, bias=False),
-        nn.BatchNorm2d(ngf * 4), nn.ReLU(True),
-        nn.Conv2d(ngf * 4, 1, 4, 2, 1, bias=False), nn.Sigmoid(),
-    )
-    netD = nn.Sequential(  # train-gray-3.lua:77-95
-        nn.Conv2d(1, ndf, 4, 2, 1, bias=False), nn.LeakyReLU(0.2, True),
-        nn.Conv2d(ndf, ndf * 2, 4, 2, 1, bias=False),
-        nn.BatchNorm2d(ndf * 2), nn.LeakyReLU(0.2, True),
-        nn.Conv2d(ndf * 2, ndf * 4, 4, 2, 1, bias=False),
-        nn.BatchNorm2d(ndf * 4), nn.LeakyReLU(0.2, True),
-        nn.Conv2d(ndf * 4, ndf * 8, 4, 2, 1, bias=False),
-        nn.BatchNorm2d(ndf * 8), nn.LeakyReLU(0.2, True),
-        nn.Conv2d(ndf * 8, 1, 4, 1, 0, bias=False), nn.Sigmoid(), Flatten(),
-    )
-    crit = nn.BCELoss()
+    overrides, shape, imgs = SHAPES[variant]
+    cfg = get_config(variant, env_override=False, **overrides)
+    netG = spec_to_torch(generator_spec(cfg))
+    netD = spec_to_torch(discriminator_spec(cfg))
+    crit = nn.BCELoss() if cfg.loss == "bce" else nn.MSELoss()
     optG = torch.optim.Adam(netG.parameters(), lr=2e-4, betas=(0.5, 0.999))
     optD = torch.optim.Adam(netD.parameters(), lr=2e-4, betas=(0.5, 0.999))
     rng = np.random.RandomState(0)
+    b, _, h, w = shape
 
     def one_step():
-        hr = torch.from_numpy(rng.rand(batch, 1, 64, 64).astype("float32"))
+        hr = torch.from_numpy(rng.rand(*shape).astype("float32"))
+        if cfg.data_range == "pm1":
+            hr = hr * 2 - 1
         optD.zero_grad()
         out_real = netD(hr)
-        err_real = crit(out_real, torch.ones(batch))
+        err_real = crit(out_real, torch.ones(b))
         err_real.backward()
-        lr_img = hr.reshape(batch, 1, 32, 2, 32, 2).mean(dim=(3, 5))
+        lr_img = hr.reshape(b, shape[1], h // 2, 2, w // 2, 2).mean(dim=(3, 5))
         fake = netG(lr_img)
         out_fake = netD(fake.detach())
-        err_fake = crit(out_fake, torch.zeros(batch))
+        err_fake = crit(out_fake, torch.zeros(b))
         err_fake.backward()
         optD.step()
         optG.zero_grad()
         out_fake2 = netD(fake)
-        err_g = crit(out_fake2, torch.ones(batch))
+        err_g = crit(out_fake2, torch.ones(b))
         err_g.backward()
         optG.step()
 
@@ -93,23 +87,31 @@ def measure_torch_cpu_baseline(batch=BATCH, steps=3):
     for _ in range(steps):
         one_step()
     dt = (time.perf_counter() - t0) / steps
-    return batch / dt
+    return imgs / dt
 
 
-def get_baseline():
+def get_baselines():
+    data = {}
     if os.path.isfile(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            return json.load(f)["torch_cpu_images_per_sec"]
-    ips = measure_torch_cpu_baseline()
-    with open(BASELINE_FILE, "w") as f:
-        json.dump({"torch_cpu_images_per_sec": ips,
-                   "config": "gray-3", "batch": BATCH,
-                   "note": "torch-CPU re-enactment of train-gray-3.lua "
-                           "per-step work (fDx+fGx+2 Adam)"}, f, indent=1)
-    return ips
+            data = json.load(f)
+        if "torch_cpu_images_per_sec" in data:  # round-1 single-config format
+            data = {"gray-3": data["torch_cpu_images_per_sec"],
+                    "note": data.get("note", "")}
+    changed = False
+    for variant in SHAPES:
+        if variant not in data:
+            data[variant] = measure_torch_cpu_baseline(variant)
+            changed = True
+    if changed:
+        data["note"] = ("torch-CPU re-enactment of the reference per-step "
+                        "work (fDx+fGx+2 Adam) per variant, images/sec")
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(data, f, indent=1)
+    return data
 
 
-def measure_tpu(batch=BATCH, k=STEPS, reps=3):
+def measure_tpu(variant, k=STEPS, reps=3):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -117,14 +119,15 @@ def measure_tpu(batch=BATCH, k=STEPS, reps=3):
     from dcgan_sr_tpu.train import init_train_state
     from dcgan_sr_tpu.train.multi_step import jit_multi_step
 
-    cfg = get_config("gray-3", env_override=False, batchSize=batch,
-                     compute_dtype="bfloat16")
+    overrides, shape, imgs = SHAPES[variant]
+    cfg = get_config(variant, env_override=False,
+                     compute_dtype="bfloat16", **overrides)
     state = init_train_state(cfg, jax.random.PRNGKey(0))
     mstep = jit_multi_step(cfg)  # k steps fused into one program (lax.scan)
 
     rng = np.random.RandomState(0)
     super_batch = jax.device_put(jnp.asarray(
-        rng.rand(k, batch, 1, 64, 64), jnp.float32))
+        rng.rand(k, *shape), jnp.float32))
     state, m = mstep(state, super_batch)  # compile
     float(m["errG"][-1])
     # NB: block_until_ready does not synchronize through the axon tunnel;
@@ -134,18 +137,23 @@ def measure_tpu(batch=BATCH, k=STEPS, reps=3):
         state, m = mstep(state, super_batch)
     float(m["errG"][-1])  # chain-dependent host fetch forces full execution
     dt = (time.perf_counter() - t0) / (reps * k)
-    return batch / dt
+    return imgs / dt
 
 
 def main():
-    baseline = get_baseline()
-    ips = measure_tpu()
-    print(json.dumps({
-        "metric": "train_images_per_sec",
-        "value": round(ips, 1),
-        "unit": "images/sec",
-        "vs_baseline": round(ips / baseline, 2),
-    }))
+    baselines = get_baselines()
+    lines = []
+    for variant in ("rgb-full", "gray-patch-batch", "gray-3"):  # flagship last
+        ips = measure_tpu(variant)
+        suffix = "" if variant == "gray-3" else "_" + variant.replace("-", "_")
+        lines.append({
+            "metric": f"train_images_per_sec{suffix}",
+            "value": round(ips, 1),
+            "unit": "images/sec",
+            "vs_baseline": round(ips / baselines[variant], 2),
+        })
+    for rec in lines:
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":

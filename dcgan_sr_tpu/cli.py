@@ -36,6 +36,15 @@ from .train import build_train_step, init_train_state, train_epochs
 from .train.checkpoint import latest_epoch, load_checkpoint
 
 
+def _per_host(batch):
+    """Multi-host feed: each process keeps only its slice of the global
+    batch (parallel.mesh.local_batch_slice); no-op on a single host."""
+    if jax.process_count() > 1:
+        from .parallel.mesh import local_batch_slice
+        return batch[local_batch_slice(len(batch))]
+    return batch
+
+
 def build_data(cfg, args):
     """Returns (loader, batch_fn(epoch, step) -> (step_batch, nc, hw, hw))."""
     if (cfg.dataset == "folder" and not args.synthetic
@@ -52,7 +61,7 @@ def build_data(cfg, args):
                 n_threads=cfg.nThreads, manual_seed=cfg.manualSeed or 0)
 
             def batch_fn(epoch, i):
-                rgb = loader.get_batch()  # (B, 3, H, W)
+                rgb = _per_host(loader.get_batch())  # (B, 3, H, W)
                 if dev_pre:
                     # raw [0,1] RGB: the fused Pallas preprocess inside the
                     # train step handles gray-convert + normalize + degrade
@@ -105,7 +114,7 @@ def build_data(cfg, args):
                   .reshape(b * n * n, 1, ps, ps))
         if cfg.data_range == "pm1":
             hr = hr * 2 - 1
-        return np.ascontiguousarray(hr)
+        return np.ascontiguousarray(_per_host(hr))
 
     return src, batch_fn
 

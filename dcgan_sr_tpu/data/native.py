@@ -43,6 +43,17 @@ def _load():
             lib.dsr_index_dir.restype = ctypes.c_longlong
             lib.dsr_index_dir.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong]
+            try:
+                lib.dsr_save_png.restype = ctypes.c_int
+                lib.dsr_save_png.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                lib.dsr_save_jpeg.restype = ctypes.c_int
+                lib.dsr_save_jpeg.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            except AttributeError:  # older .so without encoders
+                pass
             _LIB = lib
             return lib
     return None
@@ -63,6 +74,33 @@ def load_image(path, nc=1, out_h=64, out_w=64):
     if rc != 0:
         raise IOError(f"native decode failed for {path}")
     return out
+
+
+def save_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "dsr_save_png")
+
+
+def save_image(path, chw, quality=95):
+    """Encode float32 CHW [0,1] (c=1 gray / c=3 RGB) natively.
+
+    PNG or JPEG chosen by extension; byte conversion (round-half-to-even,
+    clamp) bit-matches image/io.py's PIL path."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dsr_save_png"):
+        raise RuntimeError("native encoders not built (make -C native)")
+    a = np.ascontiguousarray(chw, np.float32)
+    if a.ndim == 2:
+        a = a[None]
+    c, h, w = a.shape
+    ptr = a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".jpg", ".jpeg"):
+        rc = lib.dsr_save_jpeg(path.encode(), ptr, c, h, w, quality)
+    else:
+        rc = lib.dsr_save_png(path.encode(), ptr, c, h, w)
+    if rc != 0:
+        raise IOError(f"native encode failed for {path}")
 
 
 def index_dir(root):

@@ -44,14 +44,28 @@ def load_image(path, nc=3, dtype="float"):
     return chw.astype(np.float32)
 
 
-def save_image(path, arr):
-    """Save [0,1] float HW / CHW / HWC to disk (round-to-nearest bytes)."""
-    _require_pil()
+def save_image(path, arr, *, native="auto"):
+    """Save [0,1] float HW / CHW / HWC to disk (round-to-nearest bytes).
+
+    native="auto" routes PNG/JPEG encode through the C++ libpng/libjpeg
+    encoders when built (make -C native; byte conversion bit-matches this
+    PIL path — tested), making PIL optional for the sample-dump flow
+    (train.lua:306-326).  native=False forces PIL; True requires the lib.
+    """
     a = np.asarray(arr, np.float32)
     if a.ndim == 3 and a.shape[0] in (1, 3):  # CHW -> HWC
         a = a.transpose(1, 2, 0)
         if a.shape[-1] == 1:
             a = a[..., 0]
+    if native != False:  # noqa: E712  (auto or True)
+        from ..data import native as _native
+        if _native.save_available():
+            chw = a[None] if a.ndim == 2 else a.transpose(2, 0, 1)
+            _native.save_image(path, chw)
+            return
+        if native is True:
+            raise RuntimeError("native encoders not built (make -C native)")
+    _require_pil()
     byte = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
     _PILImage.fromarray(byte).save(path)
 

@@ -37,25 +37,60 @@ def reassemble_grid_patches(p, h, w):
     return y.reshape(lead + (h, w))
 
 
+def _hw(fine):
+    """Normalize a size argument: int -> square, (H, W) tuple -> itself."""
+    return (fine, fine) if isinstance(fine, (int, np.integer)) else tuple(fine)
+
+
 def overlap_grid(fine, patch, overlap):
-    line = (fine - overlap) // (patch - overlap)
-    return line, line * line
+    """(lines_per_row_of_patches..., total).  `fine` may be an int (square,
+    the reference case: 15 lines, 225 patches for 64/8/4) or (H, W)."""
+    fh, fw = _hw(fine)
+    lh = (fh - overlap) // (patch - overlap)
+    lw = (fw - overlap) // (patch - overlap)
+    if isinstance(fine, (int, np.integer)):
+        return lh, lh * lw
+    return (lh, lw), lh * lw
+
+
+def _overlap_lines(fine, patch, overlap):
+    fh, fw = _hw(fine)
+    return ((fh - overlap) // (patch - overlap),
+            (fw - overlap) // (patch - overlap))
 
 
 def extract_overlap_patches(x, patch, overlap):
-    """(H, W) -> (L*L, patch, patch) at stride=overlap (overlap:387-399).
+    """(..., H, W) -> (..., Lh*Lw, patch, patch) at stride=overlap
+    (overlap:387-399).
 
     NOTE the reference's stride is `overlap` itself (4), giving
     L = (fine-overlap)/(patch-overlap) = 15 rows of patches for 64/8/4.
+    Rectangular inputs tile with independent line counts per axis.
     """
-    h = x.shape[-1]
-    line, _ = overlap_grid(h, patch, overlap)
-    starts = np.arange(line) * overlap
-    idx = starts[:, None] + np.arange(patch)[None, :]  # (line, patch)
-    rows = x[..., idx, :]                   # (..., line, patch, W)
-    tiles = rows[..., idx]                  # (..., line, patch, line, patch)
-    tiles = jnp.moveaxis(tiles, -2, -3)     # (..., line, line, patch, patch)
-    return tiles.reshape(x.shape[:-2] + (line * line, patch, patch))
+    lh, lw = _overlap_lines(x.shape[-2:], patch, overlap)
+    starts_r = np.arange(lh) * overlap
+    starts_c = np.arange(lw) * overlap
+    idx_r = starts_r[:, None] + np.arange(patch)[None, :]   # (lh, patch)
+    idx_c = starts_c[:, None] + np.arange(patch)[None, :]   # (lw, patch)
+    rows = x[..., idx_r, :]                 # (..., lh, patch, W)
+    tiles = rows[..., idx_c]                # (..., lh, patch, lw, patch)
+    tiles = jnp.moveaxis(tiles, -2, -3)     # (..., lh, lw, patch, patch)
+    return tiles.reshape(x.shape[:-2] + (lh * lw, patch, patch))
+
+
+def _ownership(fine, patch, overlap):
+    """Last-writer ownership map: per output pixel, (patch index, in-patch
+    row offset, col offset) of the row-major last patch covering it."""
+    fh, fw = _hw(fine)
+    lh, lw = _overlap_lines(fine, patch, overlap)
+    r = np.arange(fh)
+    c = np.arange(fw)
+    br = np.minimum(r // overlap, lh - 1)
+    bc = np.minimum(c // overlap, lw - 1)
+    off_r = r - br * overlap
+    off_c = c - bc * overlap
+    pi = br[:, None] * lw + bc[None, :]     # (fh, fw) patch index
+    return pi, off_r, off_c
 
 
 def stitch_overlap_naive(patches, fine, patch, overlap):
@@ -65,18 +100,8 @@ def stitch_overlap_naive(patches, fine, patch, overlap):
     overlap bands of earlier ones.  Because writes happen in row-major patch
     order, each output pixel is owned by the patch with the largest (x_index,
     y_index) covering it — which is the patch whose window starts closest to
-    the pixel.  Equivalently: pixel (r, c) comes from patch
-    (min(r//ov, L-1) capped so the window fits, ...) — we just replay the
-    writes with a scatter, which XLA turns into a gather from the last writer.
+    the pixel.  We replay the writes as one gather from the last writer.
+    `fine` may be an int (square) or (H, W).
     """
-    line, _ = overlap_grid(fine, patch, overlap)
-    # Compute, for each output pixel, the index of the last patch covering it.
-    r = np.arange(fine)
-    # block index of last patch whose window [b*ov, b*ov+patch) covers r
-    # (windows at stride ov with patch >= ov always cover r at b = r//ov,
-    # clamped to the final block for the right/bottom margin):
-    b_last = np.minimum(r // overlap, line - 1)
-    off = r - b_last * overlap
-    pi = b_last[:, None] * line + b_last[None, :]          # (fine, fine) patch idx
-    out = patches[..., pi, off[:, None], off[None, :]]
-    return out
+    pi, off_r, off_c = _ownership(fine, patch, overlap)
+    return patches[..., pi, off_r[:, None], off_c[None, :]]

@@ -85,16 +85,21 @@ def _top_seam_composite(out, cur, prev, x, y, patch, overlap):
 
 
 def seam_stitch(patches, fine, patch, overlap, *, both_seams=False):
-    """Stitch (L*L, patch, patch) overlapping tiles into a (fine, fine) image.
+    """Stitch (Lh*Lw, patch, patch) overlapping tiles into a `fine` image.
 
+    `fine` is an int (square, the reference case) or (H, W) — rectangular
+    canvases tile with independent line counts per axis, same seam rules.
     `both_seams=False` reproduces the reference as committed; True applies the
     top seam AND then the left seam restricted to the left overlap band (the
     evident intent of overlap:625-692).
     """
     patches = np.asarray(patches, np.float32)
-    line = (fine - overlap) // (patch - overlap)
-    out = np.zeros((fine, fine), np.float32)
-    for i in range(line * line):
+    fh, fw = (fine, fine) if isinstance(fine, (int, np.integer)) else fine
+    lh = (fh - overlap) // (patch - overlap)
+    lw = (fw - overlap) // (patch - overlap)
+    line = lw  # columns of patches per row (stride to the top neighbor)
+    out = np.zeros((fh, fw), np.float32)
+    for i in range(lh * lw):
         x, y = i // line, i % line
         cur = patches[i]
         r0, c0 = x * overlap, y * overlap

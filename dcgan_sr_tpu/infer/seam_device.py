@@ -115,17 +115,22 @@ def _top_composites(tiles, line, patch, overlap):
 
 
 def seam_stitch_device(tiles, fine, patch, overlap):
-    """JIT-able seam stitch of (L*L, patch, patch) tiles -> (fine, fine).
+    """JIT-able seam stitch of (Lh*Lw, patch, patch) tiles -> `fine` canvas.
 
-    Matches infer.seam.seam_stitch committed-behavior mode exactly.
+    `fine` is an int (square, the reference case) or (H, W).  Matches
+    infer.seam.seam_stitch committed-behavior mode exactly.
     """
-    line, n = overlap_grid(fine, patch, overlap)
-    tiles = jnp.asarray(tiles)
-    left = _left_composites(tiles, line, patch, overlap)
-    top = _top_composites(tiles, line, patch, overlap)
+    from ..image.patches import _ownership, _overlap_lines
 
-    xi = jnp.arange(n) // line
-    yi = jnp.arange(n) % line
+    lh, lw = _overlap_lines(fine, patch, overlap)
+    n = lh * lw
+    tiles = jnp.asarray(tiles)
+    # the top neighbor sits one full patch-row earlier: stride = lw
+    left = _left_composites(tiles, lw, patch, overlap)
+    top = _top_composites(tiles, lw, patch, overlap)
+
+    xi = jnp.arange(n) // lw
+    yi = jnp.arange(n) % lw
     # committed selection: (0,0) raw; row 0 -> left; col 0 -> top;
     # interior -> left (the left composite overwrites the top one)
     use_left = yi > 0
@@ -133,8 +138,5 @@ def seam_stitch_device(tiles, fine, patch, overlap):
                      jnp.where((xi > 0)[:, None, None], top, tiles))
 
     # ownership gather (same last-writer map as the naive stitch)
-    r = np.arange(fine)
-    b_last = np.minimum(r // overlap, line - 1)
-    off = r - b_last * overlap
-    pi = b_last[:, None] * line + b_last[None, :]
-    return comp[pi, off[:, None], off[None, :]]
+    pi, off_r, off_c = _ownership(fine, patch, overlap)
+    return comp[pi, off_r[:, None], off_c[None, :]]

@@ -52,12 +52,17 @@ def sr_full_image(cfg, gen_fn, params, state, img_hw):
 
 
 def sr_grid_patches(cfg, gen_fn, params, state, img_hw):
-    """Non-overlapping patch SR with reassembly (train-gray-patch.lua:551-604)."""
-    fine, patch = cfg.fineSize, cfg.patchSize
-    hr_patches = extract_grid_patches(jnp.asarray(img_hw), patch)
+    """Non-overlapping patch SR with reassembly (train-gray-patch.lua:551-604).
+
+    Works at the image's native (H, W) — H and W must be multiples of
+    patchSize (the upscale tool pads-and-crops to guarantee this)."""
+    patch = cfg.patchSize
+    img_hw = jnp.asarray(img_hw)
+    h, w = img_hw.shape[-2], img_hw.shape[-1]
+    hr_patches = extract_grid_patches(img_hw, patch)
     lr_patches = box_downsample2(hr_patches)
     fake = gen_fn(params, state, lr_patches[:, None])[:, 0]
-    return reassemble_grid_patches(fake, fine, fine)
+    return reassemble_grid_patches(fake, h, w)
 
 
 def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
@@ -66,10 +71,14 @@ def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
 
     device_seam=True runs the batched lax.scan seam DP on device
     (infer/seam_device.py, bit-identical); False uses the host NumPy replay.
-    both_seams (intent mode) is host-only.
+    both_seams (intent mode) is host-only.  Runs at the image's native
+    (H, W): each dim must satisfy (dim - overlap) % (patch - overlap) == 0
+    (the upscale tool pads-and-crops to guarantee this).
     """
-    fine, patch, ov = cfg.fineSize, cfg.patchSize, cfg.overlap
-    hr_tiles = extract_overlap_patches(jnp.asarray(img_hw), patch, ov)
+    patch, ov = cfg.patchSize, cfg.overlap
+    img_hw = jnp.asarray(img_hw)
+    fine = (img_hw.shape[-2], img_hw.shape[-1])
+    hr_tiles = extract_overlap_patches(img_hw, patch, ov)
     lr_tiles = box_downsample2(hr_tiles)
     fake_tiles = gen_fn(params, state, lr_tiles[:, None])[:, 0]
     naive = stitch_overlap_naive(fake_tiles, fine, patch, ov)

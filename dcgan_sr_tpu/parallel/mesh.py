@@ -43,8 +43,17 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
                                process_id=process_id)
 
 
-def local_batch_slice(global_batch: int) -> slice:
-    """The per-host slice of a globally-sharded batch."""
-    per = global_batch // jax.process_count()
-    start = jax.process_index() * per
+def local_batch_slice(global_batch: int, process_count=None,
+                      process_index=None) -> slice:
+    """The per-host slice of a globally-sharded batch.
+
+    Each host's loader materializes only its slice of the global batch
+    (train.lua:168-169 has one GPU and no notion of this; the pod-scale
+    rebuild feeds per-host shards).  `process_count`/`process_index` default
+    to the live jax values; pass them explicitly to simulate hosts in tests.
+    """
+    n = jax.process_count() if process_count is None else process_count
+    i = jax.process_index() if process_index is None else process_index
+    per = global_batch // n
+    start = i * per
     return slice(start, start + per)

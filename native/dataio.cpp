@@ -219,12 +219,113 @@ std::string index_path(const Loader& l, long long file_num) {
   return l.route + buf;
 }
 
+// ---------------------------------------------------------------- encode --
+// float CHW [0,1] -> u8 HWC, round-half-to-even (numpy np.round / nearbyint
+// under the default FP environment) then clamp — bit-matching the PIL path
+// in image/io.py::save_image so the native encoder is a drop-in.
+void chw_to_bytes(const float* data, int c, int h, int w,
+                  std::vector<uint8_t>* out) {
+  const size_t hw = size_t(h) * w;
+  out->resize(hw * c);
+  for (size_t i = 0; i < hw; ++i) {
+    for (int ch = 0; ch < c; ++ch) {
+      float v = nearbyintf(data[size_t(ch) * hw + i] * 255.0f);
+      if (v < 0.f) v = 0.f;
+      if (v > 255.f) v = 255.f;
+      (*out)[i * c + ch] = static_cast<uint8_t>(v);
+    }
+  }
+}
+
+int encode_png(const char* path, const uint8_t* hwc, int c, int h, int w) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                            nullptr, nullptr);
+  if (!png) { fclose(f); return -1; }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(f);
+    return -1;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(f);
+    return -1;
+  }
+  png_init_io(png, f);
+  png_set_IHDR(png, info, w, h, 8,
+               c == 1 ? PNG_COLOR_TYPE_GRAY : PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(hwc + size_t(y) * w * c);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(f);
+  return 0;
+}
+
+int encode_jpeg(const char* path, const uint8_t* hwc, int c, int h, int w,
+                int quality) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  jpeg_compress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    fclose(f);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = c;
+  cinfo.in_color_space = c == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<JSAMPROW>(hwc + size_t(cinfo.next_scanline) * w * c);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
 
 int dsr_load_image(const char* path, int nc, int out_h, int out_w, float* out) {
   return load_image_impl(path, nc, out_h, out_w, out);
+}
+
+// Save float CHW [0,1] (c = 1 gray or 3 RGB) as PNG — the sample-dump path
+// (train.lua:306-326 saves through image.save; min-max display normalization
+// happens in the caller, image/io.py::save_display).
+int dsr_save_png(const char* path, const float* data, int c, int h, int w) {
+  if (c != 1 && c != 3) return -1;
+  std::vector<uint8_t> hwc;
+  chw_to_bytes(data, c, h, w, &hwc);
+  return encode_png(path, hwc.data(), c, h, w);
+}
+
+int dsr_save_jpeg(const char* path, const float* data, int c, int h, int w,
+                  int quality) {
+  if (c != 1 && c != 3) return -1;
+  std::vector<uint8_t> hwc;
+  chw_to_bytes(data, c, h, w, &hwc);
+  return encode_jpeg(path, hwc.data(), c, h, w, quality);
 }
 
 void* dsr_loader_create(const char* route, int nc, int fine, int batch,

@@ -84,3 +84,38 @@ def test_native_missing_file_raises(built, tmp_path):
     with pytest.raises(IOError):
         loader.load_batch(0, 2)
     loader.close()
+
+
+def test_native_encode_bitmatches_pil(built, tmp_path):
+    """dsr_save_png byte conversion == the PIL path exactly (round-half-to-
+    even, clamp) for RGB and gray; PIL becomes optional for sample dumps."""
+    rng = np.random.RandomState(5)
+    for shape in ((3, 21, 33), (17, 19)):
+        img = rng.rand(*shape).astype(np.float32)
+        p_nat = str(tmp_path / f"nat{len(shape)}.png")
+        p_pil = str(tmp_path / f"pil{len(shape)}.png")
+        save_image(p_nat, img, native=True)
+        save_image(p_pil, img, native=False)
+        a = pil_load(p_nat, nc=3, dtype="byte")
+        b = pil_load(p_pil, nc=3, dtype="byte")
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_encode_jpeg_roundtrip(built, tmp_path):
+    rng = np.random.RandomState(6)
+    img = rng.rand(3, 32, 32).astype(np.float32)
+    p = str(tmp_path / "x.jpg")
+    native.save_image(p, img, quality=95)
+    back = pil_load(p, nc=3)
+    assert back.shape == (3, 32, 32)
+    assert np.abs(back - img).mean() < 0.25  # noise is JPEG's worst case
+
+
+def test_save_display_through_native(built, tmp_path):
+    """save_display (toDisplayTensor min-max + save) rides the native encoder
+    when built - constant images save as black (test_tensor_to_image.lua)."""
+    from dcgan_sr_tpu.image.io import save_display
+    p = str(tmp_path / "const.png")
+    save_display(p, np.full((8, 8), -1.0, np.float32))
+    out = pil_load(p, nc=1, dtype="byte")
+    assert int(out.max()) == 0

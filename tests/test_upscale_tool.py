@@ -7,6 +7,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess tier: run with --runslow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -61,3 +63,20 @@ def test_upscale_t7_overlap(assets):
     assert "loaded Torch checkpoint" in r.stdout
     assert "mode=overlap" in r.stdout
     assert os.path.isfile(out_png)
+
+
+def test_upscale_native_size_nonsquare(assets):
+    """Arbitrary-size inference: a 90x70 image SRs at native size through the
+    overlap path (pad-and-crop), generalizing overlap:387-399's fixed 64."""
+    from dcgan_sr_tpu.image.io import save_image
+    inp = str(assets / "nonsq.png")
+    save_image(inp, np.random.RandomState(3).rand(90, 70).astype(np.float32))
+    out_png = str(assets / "out_nonsq.png")
+    r = _run(["--config", "gray-patch-batch-overlap", "--mode", "overlap",
+              "--t7", str(assets / "ref_net_G.t7"),
+              "--input", inp, "--output", out_png])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "padded 90x70 -> 92x72" in r.stdout
+    assert "size=90x70" in r.stdout
+    from dcgan_sr_tpu.image.io import load_image
+    assert load_image(out_png, nc=1).shape == (1, 90, 70)

@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--output", required=True, help="output PNG path")
     ap.add_argument("--mode", default="auto",
                     choices=["auto", "full", "grid", "overlap"])
+    ap.add_argument("--resize", type=int, default=None, metavar="N",
+                    help="optionally resize the input to NxN first (the old "
+                         "fixed-64 behavior was --resize 64); default is "
+                         "native-size SR with pad-and-crop tiling")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -70,8 +74,10 @@ def main(argv=None):
         print("WARNING: no checkpoint given; using random init")
 
     img = load_image(args.input, nc=cfg.nc)
-    img = _resize_chw(img, cfg.fineSize, cfg.fineSize)
+    if args.resize:
+        img = _resize_chw(img, args.resize, args.resize)
     hw = img[0] if cfg.nc == 1 else img
+    H, W = hw.shape[-2], hw.shape[-1]
     gen = make_generator_fn(cfg)
 
     mode = args.mode
@@ -79,20 +85,50 @@ def main(argv=None):
         mode = ("overlap" if cfg.variant.endswith("overlap")
                 else "grid" if cfg.patch_based else "full")
 
+    # native-size SR: pad to the mode's tiling requirement, crop after.
+    # The reference's patch machinery exists exactly so a tiny fixed-size G
+    # covers any image (train-gray-patch-batch-overlap.lua:387-399); here
+    # rectangular H x W generalizes by construction.
+    def pad_to(d):
+        p, ov = cfg.patchSize, cfg.overlap
+        if mode == "grid":
+            q = p if p % 2 == 0 else 2 * p   # patch grid + even (degrade)
+            return max(-(-d // q) * q, p)
+        if mode == "overlap":
+            q = p - ov                        # (d - ov) % (p - ov) == 0
+            d2 = max(d, p)
+            d2 += (q - (d2 - ov) % q) % q
+            while d2 % 2:                     # degrade needs even dims
+                d2 += q
+            return d2
+        return d + (d % 2)                    # full-conv G: even dims
+
+    Hp, Wp = pad_to(H), pad_to(W)
+    hw_np = np.asarray(hw)
+    if (Hp, Wp) != (H, W):
+        pad = [(0, Hp - H), (0, Wp - W)]
+        if hw_np.ndim == 3:
+            pad = [(0, 0)] + pad
+        pad_mode = ("reflect" if Hp - H < H and Wp - W < W else "edge")
+        hw_np = np.pad(hw_np, pad, mode=pad_mode)
+        print(f"padded {H}x{W} -> {Hp}x{Wp} for {mode} tiling")
+
     if mode == "overlap":
-        res = sr_overlap_image(cfg, gen, g_params, state.g_state, hw)
+        res = sr_overlap_image(cfg, gen, g_params, state.g_state, hw_np)
         fake = res["seam"]
     elif mode == "grid":
-        fake = sr_grid_patches(cfg, gen, g_params, state.g_state, hw)
+        fake = sr_grid_patches(cfg, gen, g_params, state.g_state, hw_np)
     else:
-        fake, _ = sr_full_image(cfg, gen, g_params, state.g_state, hw)
+        fake, _ = sr_full_image(cfg, gen, g_params, state.g_state, hw_np)
 
+    fake = np.asarray(fake)[..., :H, :W]
     save_image(args.output, np.clip(np.asarray(to_display(fake)), 0, 1))
-    lr = box_downsample2(hw)
     from dcgan_sr_tpu.image.ops import resize_bilinear
-    bil = resize_bilinear(lr, cfg.fineSize, cfg.fineSize)
-    print(f"mode={mode}  PSNR(G)={float(cal_psnr(hw, fake)):.3f}  "
-          f"PSNR(bilinear)={float(cal_psnr(hw, bil)):.3f}")
+    bil = np.asarray(resize_bilinear(box_downsample2(hw_np), Hp, Wp))[..., :H, :W]
+    hw_n = np.asarray(hw)
+    print(f"mode={mode}  size={H}x{W}  "
+          f"PSNR(G)={float(cal_psnr(hw_n, fake)):.3f}  "
+          f"PSNR(bilinear)={float(cal_psnr(hw_n, bil)):.3f}")
     print(f"wrote {args.output}")
 
 
