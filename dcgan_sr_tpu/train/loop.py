@@ -18,7 +18,7 @@ from .step import TrainState, build_train_step
 
 
 def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
-                 steps_per_epoch=None, log_fn=print, checkpoint_dir=None,
+                 steps_per_epoch=None, log_fn=None, checkpoint_dir=None,
                  prepare_batch=None, logger: MetricsLogger = None, log_every=1):
     """Run the training loop.
 

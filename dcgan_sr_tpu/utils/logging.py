@@ -12,7 +12,12 @@ import time
 class MetricsLogger:
     """Per-step metrics to stdout (reference log-line shape) and/or JSONL/CSV."""
 
-    def __init__(self, jsonl_path=None, csv_path=None, stdout=True, log_fn=print):
+    def __init__(self, jsonl_path=None, csv_path=None, stdout=True,
+                 log_fn=None):
+        if log_fn is None:
+            import functools
+            # line-buffered even when stdout is a pipe (nohup/driver logs)
+            log_fn = functools.partial(print, flush=True)
         self.stdout = stdout
         self.log_fn = log_fn
         self._jsonl = open(jsonl_path, "a") if jsonl_path else None
