@@ -130,8 +130,11 @@ def main(argv=None):
     cfg = get_config(args.config, env_override=False)
     cfg.manualSeed = args.seed
 
-    # identical init to our runs: JAX init_network -> copy into torch
+    # identical init to our runs: JAX init_network -> copy into torch.
+    # Pin the CPU backend: this tool must never grab the (single) TPU tunnel
+    # out from under a concurrent training run.
     import jax
+    jax.config.update("jax_platforms", "cpu")
     from dcgan_sr_tpu.models import (discriminator_spec, generator_spec,
                                      init_network)
     g_spec, d_spec = generator_spec(cfg), discriminator_spec(cfg)
