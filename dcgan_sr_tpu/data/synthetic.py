@@ -72,7 +72,9 @@ class TexturedImages:
     index ranges, like the reference's sequential CelebA reads).
     """
 
-    def __init__(self, fine_size=64, nc=1, seed=1234, cache_images=8192):
+    def __init__(self, fine_size=64, nc=1, seed=1234, cache_images=32768):
+        # cache must cover the training index range (ntrain=10000 for the
+        # gray-3 protocol) or the tail re-renders every epoch (~15 ms/img)
         self.fine_size = fine_size
         self.nc = nc
         self.seed = seed
