@@ -1,0 +1,215 @@
+"""Fused convT(k4s2p1) + BatchNorm + ReLU + conv(k4s2p1) Pallas kernel.
+
+The gray-3 generator's hot pair (train-gray-3.lua:60-66: SpatialFullConvolution
+16ch 256->512 + BN + ReLU feeding SpatialConvolution 8->16ch 512->256) keeps a
+(B, 8, 512, 512) activation alive in HBM: XLA materializes it for the BN
+reductions, the normalize pass, and the consumer conv.  This kernel never
+materializes it: each grid program computes a row-band of the hidden tensor in
+VMEM, normalizes with precomputed batch stats, and immediately consumes it
+with the second conv.  Batch statistics come from a first (stats) pass that
+recomputes the convT band — trading FLOPs for HBM traffic.
+
+Math notes (see tests/test_pallas_fused.py for exactness proofs):
+  * convT k4s2p1 decomposes into 4 output-parity convs.  With output parity
+    (di, dj) and 2x2 input window offsets (ti, tj):
+        h[2i+di, 2j+dj] = sum_{ti,tj} x[i+di-1+ti, j+dj-1+tj] @ W(di,dj,ti,tj)
+    where W(...)[ci, cm] = wT[ci, cm, 3-di-2ti, 3-dj-2tj] — and in LOCAL tile
+    coordinates all four parities read the SAME shifted 2x2 windows, so one
+    patch matrix (.., 4*Ci) times one packed weight (4*Ci, 4*Cm) computes all
+    parities in a single MXU pass (4x the lane utilization of a naive
+    Cout=8 lowering).
+  * the consumer conv k4s2p1 gathers a 2x2 window from EACH parity plane:
+        y[m, n] = sum_{k, sa, sb} P_k[m+sa, n+sb] @ wC[co, cm, a(k,sa), b(k,sb)]
+    packed the same way into one (.., 16*Cm=128) @ (128, Co) matmul (full K).
+
+Opt-in (cfg.fuse_bulge); exactness is pinned against the unfused composition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pack_wT(wT):
+    """(Ci, Cm, 4, 4) IOHW -> (4*Ci, 4*Cm): rows (ti,tj,ci), cols (di,dj,cm)."""
+    ci, cm = wT.shape[0], wT.shape[1]
+    out = jnp.zeros((4 * ci, 4 * cm), wT.dtype)
+    for ti in (0, 1):
+        for tj in (0, 1):
+            r = (ti * 2 + tj)
+            for di in (0, 1):
+                for dj in (0, 1):
+                    c = (di * 2 + dj)
+                    blk = wT[:, :, 3 - di - 2 * ti, 3 - dj - 2 * tj]
+                    out = out.at[r * ci:(r + 1) * ci,
+                                 c * cm:(c + 1) * cm].set(blk)
+    return out
+
+
+def _pack_wC(wC):
+    """(Co, Cm, 4, 4) OIHW -> (16*Cm, Co): rows (k=di*2+dj, sa, sb, cm)."""
+    co, cm = wC.shape[0], wC.shape[1]
+    out = jnp.zeros((16 * cm, co), wC.dtype)
+    for k in range(4):
+        di, dj = k // 2, k % 2
+        for sa in (0, 1):
+            a = (1 + 2 * sa) if di == 0 else 2 * sa
+            for sb in (0, 1):
+                b = (1 + 2 * sb) if dj == 0 else 2 * sb
+                r = ((k * 2 + sa) * 2 + sb)
+                out = out.at[r * cm:(r + 1) * cm, :].set(wC[:, :, a, b].T)
+    return out
+
+
+def _parts_from_window(xw, wtall, tm, w, ci, cm):
+    """xw: (TM+2, W+2, Ci) -> P_all (TM+1, W+1, 4, Cm) via one packed matmul."""
+    slices = [xw[ti:ti + tm + 1, tj:tj + w + 1, :]
+              for ti in (0, 1) for tj in (0, 1)]
+    xp = jnp.concatenate(slices, axis=-1)            # (TM+1, W+1, 4Ci)
+    p = jnp.dot(xp.reshape((tm + 1) * (w + 1), 4 * ci), wtall,
+                preferred_element_type=jnp.float32)
+    return p.reshape(tm + 1, w + 1, 4, cm)
+
+
+def _stats_kernel(px_ref, wtall_ref, sums_ref, xw, sem, *, tm, w, ci, cm):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        px_ref.at[b, pl.ds(t * tm, tm + 2)], xw, sem)
+    dma.start()
+    dma.wait()
+    p = _parts_from_window(xw[...], wtall_ref[...], tm, w, ci, cm)
+    # real h cells in local coords: di=0 -> rows [0,TM), di=1 -> rows [1,TM];
+    # dj=0 -> cols [0,W), dj=1 -> cols [1,W]  (phase-1 tiling has no pads)
+    s = jnp.zeros((cm,), jnp.float32)
+    sq = jnp.zeros((cm,), jnp.float32)
+    for k in range(4):
+        di, dj = k // 2, k % 2
+        blk = p[di:di + tm, dj:dj + w, k, :]
+        s = s + jnp.sum(blk, axis=(0, 1))
+        sq = sq + jnp.sum(blk * blk, axis=(0, 1))
+    sums_ref[0, 0, 0] = s
+    sums_ref[0, 0, 1] = sq
+
+
+def _main_kernel(px_ref, wtall_ref, wcall_ref, stats_ref, y_ref, xw, sem, *,
+                 tm, w, ci, cm, co, n_tiles):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        px_ref.at[b, pl.ds(t * tm, tm + 2)], xw, sem)
+    dma.start()
+    dma.wait()
+    p = _parts_from_window(xw[...], wtall_ref[...], tm, w, ci, cm)
+
+    # BN normalize + ReLU (stats_ref: (2, Cm) = mean, inv_std-scale packing)
+    mean = stats_ref[0]          # (Cm,)
+    gain = stats_ref[1]          # scale / sqrt(var + eps)
+    bias = stats_ref[2]          # bn bias
+    p = (p - mean[None, None, None, :]) * gain[None, None, None, :] \
+        + bias[None, None, None, :]
+    p = jnp.maximum(p, 0.0)
+
+    # zero the consumer-padding cells (h rows/cols outside [0, 2H) x [0, 2W))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tm + 1, w + 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tm + 1, w + 1), 1)
+    first_tile = t == 0
+    last_tile = t == n_tiles - 1
+    zero = jnp.zeros_like(p[..., 0, :])
+    for k in range(4):
+        di, dj = k // 2, k % 2
+        m = jnp.zeros_like(rows, dtype=jnp.bool_)
+        if dj == 0:
+            m = m | (cols == w)          # even-col part: j=W is h col 2W
+        else:
+            m = m | (cols == 0)          # odd-col part: j=-1 is h col -1
+        if di == 0:
+            m = m | ((rows == tm) & last_tile)   # even-row i=H -> h row 2H
+        else:
+            m = m | ((rows == 0) & first_tile)   # odd-row i=-1 -> h row -1
+        p = p.at[:, :, k, :].set(jnp.where(m[:, :, None], zero[..., :],
+                                           p[:, :, k, :]))
+
+    # consumer conv: one (TM*W, 16*Cm) @ (16*Cm, Co) matmul
+    slices = [p[sa:sa + tm, sb:sb + w, k, :]
+              for k in range(4) for sa in (0, 1) for sb in (0, 1)]
+    yp = jnp.concatenate(slices, axis=-1)            # (TM, W, 16Cm)
+    y = jnp.dot(yp.reshape(tm * w, 16 * cm), wcall_ref[...],
+                preferred_element_type=jnp.float32)
+    y_ref[0] = y.reshape(tm, w, co).astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tm", "interpret"))
+def fused_convT_bn_relu_conv(x, wT, scale, bias, wC, *, eps=1e-5, tm=32,
+                             interpret=False):
+    """y = conv_s2p1k4(relu(bn(convT_s2p1k4(x)))) without materializing the
+    2x-resolution hidden tensor in HBM.
+
+    x: (B, Ci, H, W); wT: (Ci, Cm, 4, 4) IOHW; wC: (Co, Cm, 4, 4) OIHW;
+    scale/bias: (Cm,).  Returns (y: (B, Co, H, W), (mean, biased_var)) with
+    train-mode batch statistics of the hidden tensor (for BN running stats).
+    """
+    bsz, ci, h, w = x.shape
+    cm = wT.shape[1]
+    co = wC.shape[0]
+    assert h % tm == 0, (h, tm)
+    n_tiles = h // tm
+
+    xl = jnp.pad(x.transpose(0, 2, 3, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wtall = _pack_wT(wT).astype(x.dtype)
+    wcall = _pack_wC(wC).astype(x.dtype)
+
+    # ---- phase 1: batch statistics of the hidden tensor --------------------
+    sums = pl.pallas_call(
+        functools.partial(_stats_kernel, tm=tm, w=w, ci=ci, cm=cm),
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4 * ci, 4 * cm), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2, cm), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_tiles, 2, cm), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tm + 2, w + 2, ci), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xl, wtall)
+    n = bsz * (2 * h) * (2 * w)
+    mean = sums[:, :, 0].sum(axis=(0, 1)) / n
+    var = sums[:, :, 1].sum(axis=(0, 1)) / n - mean * mean  # biased (torch BN)
+    gain = scale / jnp.sqrt(var + eps)
+    stats = jnp.stack([mean, gain, bias]).astype(jnp.float32)
+
+    # ---- phase 2: recompute, normalize, consume -----------------------------
+    y = pl.pallas_call(
+        functools.partial(_main_kernel, tm=tm, w=w, ci=ci, cm=cm, co=co,
+                          n_tiles=n_tiles),
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4 * ci, 4 * cm), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * cm, co), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cm), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, w, co), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tm + 2, w + 2, ci), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xl, wtall, wcall, stats)
+    return y.transpose(0, 3, 1, 2), (mean, var)

@@ -1,0 +1,84 @@
+"""Measure the fused convT+BN+ReLU+conv Pallas kernel against XLA's unfused
+composition at the gray-3 bulge geometry (B=100, 16ch 256 -> 8ch 512 -> 16ch
+256).  Decides whether cfg.fuse_bulge earns its keep (CLAUDE.md discipline:
+opt-in until measured faster; record negative results).
+
+Usage: python tools/bench_fused.py [--batch 100] [--hw 256] [--dtype bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=100)
+    ap.add_argument("--hw", type=int, default=256)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--tm", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from dcgan_sr_tpu.ops import nn as N
+    from dcgan_sr_tpu.ops.pallas_fused import fused_convT_bn_relu_conv
+
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    rng = np.random.RandomState(0)
+    b, hw = args.batch, args.hw
+    x = jax.device_put(jnp.asarray(rng.rand(b, 16, hw, hw), dt))
+    wT = jax.device_put(jnp.asarray(0.05 * rng.randn(16, 8, 4, 4), dt))
+    wC = jax.device_put(jnp.asarray(0.05 * rng.randn(16, 8, 4, 4), dt))
+    scale = jnp.ones(8, jnp.float32)
+    bias = jnp.zeros(8, jnp.float32)
+
+    @jax.jit
+    def unfused(x, wT, scale, bias, wC):
+        h = N.conv_transpose2d(x, wT, 2, 1, compute_dtype=dt)
+        hf = h.astype(jnp.float32)
+        mean = hf.mean(axis=(0, 2, 3))
+        var = (hf * hf).mean(axis=(0, 2, 3)) - mean * mean
+        hn = (hf - mean[None, :, None, None]) * (
+            scale / jnp.sqrt(var + 1e-5))[None, :, None, None] \
+            + bias[None, :, None, None]
+        hr = jnp.maximum(hn, 0.0).astype(dt)
+        return N.conv2d(hr, wC, 2, 1, compute_dtype=dt), (mean, var)
+
+    fused = jax.jit(lambda *a: fused_convT_bn_relu_conv(*a, tm=args.tm))
+
+    def timeit(f, tag):
+        y, (m, v) = f(x, wT, scale, bias, wC)
+        float(jnp.sum(y.astype(jnp.float32)) + m.sum())  # full-chain fetch
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            y, (m, v) = f(x, wT, scale, bias, wC)
+        s = float(jnp.sum(y.astype(jnp.float32)) + m.sum())
+        dt_ms = (time.perf_counter() - t0) / args.reps * 1e3
+        print(f"{tag:10s} {dt_ms:8.3f} ms  (checksum {s:.4e})", flush=True)
+        return dt_ms, y
+
+    t_ref, y_ref = timeit(unfused, "unfused")
+    t_fused, y_fused = timeit(fused, "fused")
+    err = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)
+                                - y_fused.astype(jnp.float32))))
+    print(json.dumps({"batch": b, "hw": hw, "dtype": args.dtype,
+                      "tm": args.tm, "unfused_ms": round(t_ref, 3),
+                      "fused_ms": round(t_fused, 3),
+                      "speedup": round(t_ref / t_fused, 3),
+                      "max_abs_diff": err}))
+
+
+if __name__ == "__main__":
+    main()
