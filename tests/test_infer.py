@@ -132,3 +132,32 @@ def test_evaluate_slice_synthetic():
     assert res.n_images == 4
     assert 0 < res.psnr_bilinear < 99
     assert -1 <= res.ssim_bilinear <= 1
+
+
+def test_evaluate_slice_uses_provided_gen_fn():
+    """A custom gen_fn must actually be scored (round-1 had a dead param):
+    a generator that returns the bilinear upscale makes psnr_generator equal
+    psnr_bilinear exactly."""
+    from dcgan_sr_tpu.core import get_config
+    from dcgan_sr_tpu.data import SyntheticImages
+    from dcgan_sr_tpu.evaluation import evaluate_slice
+    from dcgan_sr_tpu.image.ops import resize_bilinear
+
+    cfg = get_config("gray-3", env_override=False, ngf=4, ndf=8, batchSize=4)
+    src = SyntheticImages(cfg.fineSize, nc=1, seed=3)
+
+    def bilinear_gen(params, state, lr):
+        return resize_bilinear(lr, cfg.fineSize, cfg.fineSize)
+
+    res = evaluate_slice(cfg, bilinear_gen, None, None, src, range(1),
+                         with_ssim=False)
+    assert res.psnr_generator == res.psnr_bilinear
+    # and a genuinely different generator must NOT collapse to the control
+    def zero_gen(params, state, lr):
+        import jax.numpy as jnp
+        return jnp.zeros(lr.shape[:2] + (cfg.fineSize, cfg.fineSize),
+                         lr.dtype)
+
+    res2 = evaluate_slice(cfg, zero_gen, None, None, src, range(1),
+                          with_ssim=False)
+    assert res2.psnr_generator != res2.psnr_bilinear
