@@ -131,3 +131,21 @@ def test_image_io_roundtrip(tmp_path):
     # rec601 luma convention (torch image.load nc=1)
     want = 0.299 * back[0] + 0.587 * back[1] + 0.114 * back[2]
     np.testing.assert_allclose(gray[0], want, atol=1e-6)
+
+
+def test_textured_deterministic_and_bilinear_beatable():
+    """TexturedImages: deterministic per (seed, index); its bilinear baseline
+    leaves learnable headroom (the quality-protocol premise) — mean bilinear
+    PSNR must sit well below the near-lossless regime of the smooth set."""
+    from dcgan_sr_tpu.data import TexturedImages
+    src = TexturedImages(64, nc=1, seed=1234)
+    a, b = src.load_one(7), src.load_one(7)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (1, 64, 64) and a.min() >= 0 and a.max() <= 1
+    src2 = TexturedImages(64, nc=1, seed=1234)
+    np.testing.assert_array_equal(src2.load_one(7), a)  # cross-instance
+    batch = src.load_batch(2, 8)
+    np.testing.assert_array_equal(batch[0], src.load_one(17))
+    # texture content: high-frequency energy present (std of laplacian)
+    lap = np.abs(np.diff(batch[:, 0], axis=-1)).mean()
+    assert lap > 0.01, "set degenerated to smooth images"
