@@ -196,6 +196,9 @@ def main(argv=None):
     ap.add_argument("--fast-ops", action="store_true",
                     help="sub-pixel/s2d conv rewrites (exact; measured slower "
                          "than XLA's emitter on this toolchain)")
+    ap.add_argument("--gan-weight", type=float, default=None, metavar="W",
+                    help="scale on G's adversarial gradient (1.0 = parity; "
+                         "0 = pure reconstruction CNN with --pixel-loss)")
     ap.add_argument("--pixel-loss", type=float, default=None, metavar="W",
                     help="add W * MSE(fake, real) to G's objective "
                          "(surplus over the reference; ~+3 dB at W=100)")
@@ -224,6 +227,8 @@ def main(argv=None):
         overrides["fast_ops"] = True
     if args.pixel_loss is not None:
         overrides["pixel_loss_weight"] = args.pixel_loss
+    if args.gan_weight is not None:
+        overrides["gan_weight"] = args.gan_weight
     if args.device_preprocess:
         overrides["device_preprocess"] = True
     if args.compact_params:

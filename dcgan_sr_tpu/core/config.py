@@ -59,6 +59,10 @@ class Config:
     # optional pixel-reconstruction term on G: errG += weight * MSE(fake, real)
     # (no reference equivalent — the standard SR-GAN recipe; 0.0 = pure parity)
     pixel_loss_weight: float = 0.0
+    # weight on G's adversarial gradient (1.0 = reference parity; 0.0 turns
+    # the generator into a pure reconstruction CNN — with pixel_loss_weight
+    # that is the PSNR-optimal regime; errG is still reported unweighted)
+    gan_weight: float = 1.0
     # data value range: "pm1" = [-1,1] (folder loader hflip/normalize path),
     # "01" = [0,1] (direct image.load path)
     data_range: str = "01"

@@ -169,6 +169,8 @@ def build_train_step(cfg, *, axis_name=None):
 
         # --- G loss: reuse D's fake-pass outputs/pullback (fGx, train.lua:256-272)
         err_g, g_cot = jax.value_and_grad(lambda o: crit(o, g_vec))(out_fake)
+        if cfg.gan_weight != 1.0:
+            g_cot = g_cot * cfg.gan_weight
         _, dfake = d_fake_vjp(g_cot)
         pixel_loss = jnp.zeros(())
         if cfg.pixel_loss_weight > 0:
