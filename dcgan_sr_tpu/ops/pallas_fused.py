@@ -68,13 +68,16 @@ def _pack_wC(wC):
 
 
 def _parts_from_window(xw, wtall, tm, w, ci, cm):
-    """xw: (TM+2, W+2, Ci) -> P_all (TM+1, W+1, 4, Cm) via one packed matmul."""
+    """xw: (TM+2, W+2, Ci) -> flat parts (TM+1, W+1, 4*Cm), one packed matmul.
+
+    Part k = di*2+dj lives in lanes [k*Cm, (k+1)*Cm) — kept FLAT on the lane
+    axis (Mosaic-friendly: no small-minor 4-D layouts, no scatter)."""
     slices = [xw[ti:ti + tm + 1, tj:tj + w + 1, :]
               for ti in (0, 1) for tj in (0, 1)]
     xp = jnp.concatenate(slices, axis=-1)            # (TM+1, W+1, 4Ci)
     p = jnp.dot(xp.reshape((tm + 1) * (w + 1), 4 * ci), wtall,
                 preferred_element_type=jnp.float32)
-    return p.reshape(tm + 1, w + 1, 4, cm)
+    return p.reshape(tm + 1, w + 1, 4 * cm)
 
 
 def _stats_kernel(px_ref, wtall_ref, sums_ref, xw, sem, *, tm, w, ci, cm):
@@ -91,7 +94,7 @@ def _stats_kernel(px_ref, wtall_ref, sums_ref, xw, sem, *, tm, w, ci, cm):
     sq = jnp.zeros((cm,), jnp.float32)
     for k in range(4):
         di, dj = k // 2, k % 2
-        blk = p[di:di + tm, dj:dj + w, k, :]
+        blk = p[di:di + tm, dj:dj + w, k * cm:(k + 1) * cm]
         s = s + jnp.sum(blk, axis=(0, 1))
         sq = sq + jnp.sum(blk * blk, axis=(0, 1))
     sums_ref[0, 0, 0] = s
@@ -99,7 +102,7 @@ def _stats_kernel(px_ref, wtall_ref, sums_ref, xw, sem, *, tm, w, ci, cm):
 
 
 def _main_kernel(px_ref, wtall_ref, wcall_ref, stats_ref, y_ref, xw, sem, *,
-                 tm, w, ci, cm, co, n_tiles):
+                 tm, w, ci, cm, co, n_tiles, out_dtype):
     b = pl.program_id(0)
     t = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -108,36 +111,34 @@ def _main_kernel(px_ref, wtall_ref, wcall_ref, stats_ref, y_ref, xw, sem, *,
     dma.wait()
     p = _parts_from_window(xw[...], wtall_ref[...], tm, w, ci, cm)
 
-    # BN normalize + ReLU (stats_ref: (2, Cm) = mean, inv_std-scale packing)
-    mean = stats_ref[0]          # (Cm,)
-    gain = stats_ref[1]          # scale / sqrt(var + eps)
-    bias = stats_ref[2]          # bn bias
-    p = (p - mean[None, None, None, :]) * gain[None, None, None, :] \
-        + bias[None, None, None, :]
+    # BN normalize + ReLU on the flat parts: stats_ref rows are the (4*Cm)
+    # part-tiled vectors (mean, scale/sqrt(var+eps), bias)
+    p = (p - stats_ref[0][None, None, :]) * stats_ref[1][None, None, :] \
+        + stats_ref[2][None, None, :]
     p = jnp.maximum(p, 0.0)
 
     # zero the consumer-padding cells (h rows/cols outside [0, 2H) x [0, 2W))
+    # with pure selects — per-part masks differ only at one row/col each
     rows = jax.lax.broadcasted_iota(jnp.int32, (tm + 1, w + 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (tm + 1, w + 1), 1)
     first_tile = t == 0
     last_tile = t == n_tiles - 1
-    zero = jnp.zeros_like(p[..., 0, :])
+    parts = []
     for k in range(4):
         di, dj = k // 2, k % 2
-        m = jnp.zeros_like(rows, dtype=jnp.bool_)
         if dj == 0:
-            m = m | (cols == w)          # even-col part: j=W is h col 2W
+            m = cols == w                # even-col part: j=W is h col 2W
         else:
-            m = m | (cols == 0)          # odd-col part: j=-1 is h col -1
+            m = cols == 0                # odd-col part: j=-1 is h col -1
         if di == 0:
             m = m | ((rows == tm) & last_tile)   # even-row i=H -> h row 2H
         else:
             m = m | ((rows == 0) & first_tile)   # odd-row i=-1 -> h row -1
-        p = p.at[:, :, k, :].set(jnp.where(m[:, :, None], zero[..., :],
-                                           p[:, :, k, :]))
+        blk = p[:, :, k * cm:(k + 1) * cm]
+        parts.append(jnp.where(m[:, :, None], 0.0, blk).astype(out_dtype))
 
     # consumer conv: one (TM*W, 16*Cm) @ (16*Cm, Co) matmul
-    slices = [p[sa:sa + tm, sb:sb + w, k, :]
+    slices = [parts[k][sa:sa + tm, sb:sb + w, :]
               for k in range(4) for sa in (0, 1) for sb in (0, 1)]
     yp = jnp.concatenate(slices, axis=-1)            # (TM, W, 16Cm)
     y = jnp.dot(yp.reshape(tm * w, 16 * cm), wcall_ref[...],
@@ -187,12 +188,14 @@ def fused_convT_bn_relu_conv(x, wT, scale, bias, wC, *, eps=1e-5, tm=32,
     mean = sums[:, :, 0].sum(axis=(0, 1)) / n
     var = sums[:, :, 1].sum(axis=(0, 1)) / n - mean * mean  # biased (torch BN)
     gain = scale / jnp.sqrt(var + eps)
-    stats = jnp.stack([mean, gain, bias]).astype(jnp.float32)
+    # part-tiled (4*Cm) vectors so the kernel normalizes the flat parts
+    stats = jnp.stack([jnp.tile(mean, 4), jnp.tile(gain, 4),
+                       jnp.tile(bias, 4)]).astype(jnp.float32)
 
     # ---- phase 2: recompute, normalize, consume -----------------------------
     y = pl.pallas_call(
         functools.partial(_main_kernel, tm=tm, w=w, ci=ci, cm=cm, co=co,
-                          n_tiles=n_tiles),
+                          n_tiles=n_tiles, out_dtype=x.dtype),
         grid=(bsz, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -200,7 +203,7 @@ def fused_convT_bn_relu_conv(x, wT, scale, bias, wC, *, eps=1e-5, tm=32,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16 * cm, co), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, cm), lambda b, t: (0, 0),
+            pl.BlockSpec((3, 4 * cm), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tm, w, co), lambda b, t: (b, t, 0, 0),

@@ -56,11 +56,11 @@ def time_forward(cfg, batch, k, reps):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     def many(params, bn, xs):
-        def one(_, x):
-            out, _ = apply_network(spec, params, x, bn, train=True,
-                                   compute_dtype=dtype)
-            return _, out.mean()
-        _, outs = lax.scan(one, None, xs)
+        def one(carry, x):
+            out, _st = apply_network(spec, params, x, bn, train=True,
+                                     compute_dtype=dtype)
+            return carry, out.mean()
+        _c, outs = lax.scan(one, 0, xs)
         return outs.sum()
 
     f = jax.jit(many)
