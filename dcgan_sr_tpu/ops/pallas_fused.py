@@ -67,27 +67,38 @@ def _pack_wC(wC):
     return out
 
 
-def _parts_from_window(xw, wtall, tm, w, ci, cm):
+def _wpad(w):
+    """Columns are padded so the second-minor dim of the flattened patch
+    matrix is sublane-aligned (Mosaic reshape constraint)."""
+    return -(w + 1) % 16
+
+
+def _parts_from_window(xw, xp_ref, wtall, tm, w, ci, cm):
     """xw: (TM+2, W+2, Ci) -> flat parts (TM+1, W+1, 4*Cm), one packed matmul.
 
-    Part k = di*2+dj lives in lanes [k*Cm, (k+1)*Cm) — kept FLAT on the lane
-    axis (Mosaic-friendly: no small-minor 4-D layouts, no scatter)."""
-    slices = [xw[ti:ti + tm + 1, tj:tj + w + 1, :]
-              for ti in (0, 1) for tj in (0, 1)]
-    xp = jnp.concatenate(slices, axis=-1)            # (TM+1, W+1, 4Ci)
-    p = jnp.dot(xp.reshape((tm + 1) * (w + 1), 4 * ci), wtall,
+    Part k = di*2+dj lives in lanes [k*Cm, (k+1)*Cm).  The 4 shifted 2x2
+    windows are STORED into the xp scratch's lane blocks — Mosaic cannot
+    lane-concatenate vectors whose slices carry different sublane/lane
+    offsets, but stores canonicalize the layout."""
+    wp = _wpad(w)
+    for idx, (ti, tj) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        xp_ref[:, :w + 1, idx * ci:(idx + 1) * ci] = \
+            xw[ti:ti + tm + 1, tj:tj + w + 1, :]
+    xp = xp_ref[...]                                  # (TM+1, W+1+wp, 4Ci)
+    p = jnp.dot(xp.reshape((tm + 1) * (w + 1 + wp), 4 * ci), wtall,
                 preferred_element_type=jnp.float32)
-    return p.reshape(tm + 1, w + 1, 4 * cm)
+    p = p.reshape(tm + 1, w + 1 + wp, 4 * cm)
+    return p[:, :w + 1, :]  # pad columns hold garbage -> sliced away
 
 
-def _stats_kernel(px_ref, wtall_ref, sums_ref, xw, sem, *, tm, w, ci, cm):
+def _stats_kernel(px_ref, wtall_ref, sums_ref, xw, xp_s, sem, *, tm, w, ci, cm):
     b = pl.program_id(0)
     t = pl.program_id(1)
     dma = pltpu.make_async_copy(
         px_ref.at[b, pl.ds(t * tm, tm + 2)], xw, sem)
     dma.start()
     dma.wait()
-    p = _parts_from_window(xw[...], wtall_ref[...], tm, w, ci, cm)
+    p = _parts_from_window(xw[...], xp_s, wtall_ref[...], tm, w, ci, cm)
     # real h cells in local coords: di=0 -> rows [0,TM), di=1 -> rows [1,TM];
     # dj=0 -> cols [0,W), dj=1 -> cols [1,W]  (phase-1 tiling has no pads)
     s = jnp.zeros((cm,), jnp.float32)
@@ -101,15 +112,15 @@ def _stats_kernel(px_ref, wtall_ref, sums_ref, xw, sem, *, tm, w, ci, cm):
     sums_ref[0, 0, 1] = sq
 
 
-def _main_kernel(px_ref, wtall_ref, wcall_ref, stats_ref, y_ref, xw, sem, *,
-                 tm, w, ci, cm, co, n_tiles, out_dtype):
+def _main_kernel(px_ref, wtall_ref, wcall_ref, stats_ref, y_ref, xw, xp_s,
+                 yp_s, sem, *, tm, w, ci, cm, co, n_tiles, out_dtype):
     b = pl.program_id(0)
     t = pl.program_id(1)
     dma = pltpu.make_async_copy(
         px_ref.at[b, pl.ds(t * tm, tm + 2)], xw, sem)
     dma.start()
     dma.wait()
-    p = _parts_from_window(xw[...], wtall_ref[...], tm, w, ci, cm)
+    p = _parts_from_window(xw[...], xp_s, wtall_ref[...], tm, w, ci, cm)
 
     # BN normalize + ReLU on the flat parts: stats_ref rows are the (4*Cm)
     # part-tiled vectors (mean, scale/sqrt(var+eps), bias)
@@ -137,10 +148,17 @@ def _main_kernel(px_ref, wtall_ref, wcall_ref, stats_ref, y_ref, xw, sem, *,
         blk = p[:, :, k * cm:(k + 1) * cm]
         parts.append(jnp.where(m[:, :, None], 0.0, blk).astype(out_dtype))
 
-    # consumer conv: one (TM*W, 16*Cm) @ (16*Cm, Co) matmul
-    slices = [parts[k][sa:sa + tm, sb:sb + w, :]
-              for k in range(4) for sa in (0, 1) for sb in (0, 1)]
-    yp = jnp.concatenate(slices, axis=-1)            # (TM, W, 16Cm)
+    # consumer conv: one (TM*W, 16*Cm) @ (16*Cm, Co) matmul; the 16 shifted
+    # part windows are stored into the yp scratch's lane blocks (see
+    # _parts_from_window for why stores instead of a concat)
+    n = 0
+    for k in range(4):
+        for sa in (0, 1):
+            for sb in (0, 1):
+                yp_s[:, :, n * cm:(n + 1) * cm] = \
+                    parts[k][sa:sa + tm, sb:sb + w, :]
+                n += 1
+    yp = yp_s[...]                                   # (TM, W, 16Cm)
     y = jnp.dot(yp.reshape(tm * w, 16 * cm), wcall_ref[...],
                 preferred_element_type=jnp.float32)
     y_ref[0] = y.reshape(tm, w, co).astype(y_ref.dtype)
@@ -180,6 +198,7 @@ def fused_convT_bn_relu_conv(x, wT, scale, bias, wC, *, eps=1e-5, tm=32,
         out_shape=jax.ShapeDtypeStruct((bsz, n_tiles, 2, cm), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tm + 2, w + 2, ci), x.dtype),
+            pltpu.VMEM((tm + 1, w + 1 + _wpad(w), 4 * ci), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -211,6 +230,8 @@ def fused_convT_bn_relu_conv(x, wT, scale, bias, wC, *, eps=1e-5, tm=32,
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, co), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((tm + 2, w + 2, ci), x.dtype),
+            pltpu.VMEM((tm + 1, w + 1 + _wpad(w), 4 * ci), x.dtype),
+            pltpu.VMEM((tm, w, 16 * cm), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
