@@ -22,7 +22,11 @@ Math notes (see tests/test_pallas_fused.py for exactness proofs):
         y[m, n] = sum_{k, sa, sb} P_k[m+sa, n+sb] @ wC[co, cm, a(k,sa), b(k,sb)]
     packed the same way into one (.., 16*Cm=128) @ (128, Co) matmul (full K).
 
-Opt-in (cfg.fuse_bulge); exactness is pinned against the unfused composition.
+First-generation NHWC draft: exact in interpret mode but does NOT pass
+Mosaic lowering on real TPUs (lane-offset concat + small-minor-dim tile
+padding — see docs/fused_bulge.md). Superseded by the flat-lane form in
+ops/pallas_bulge.py, which lowers and runs but measured 3.6x slower than
+XLA's unfused composition — negative result recorded; no config flag.
 """
 
 from __future__ import annotations
@@ -180,7 +184,12 @@ def fused_convT_bn_relu_conv(x, wT, scale, bias, wC, *, eps=1e-5, tm=32,
     assert h % tm == 0, (h, tm)
     n_tiles = h // tm
 
-    xl = jnp.pad(x.transpose(0, 2, 3, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Mosaic DMA slices must be tile-aligned on the trailing (sublane, lane)
+    # dims; pad the W axis (sublane of the NHWC layout) to a multiple of 8 so
+    # the full-extent copy of each row band is aligned.
+    wq = -(-(w + 2) // 8) * 8
+    xl = jnp.pad(x.transpose(0, 2, 3, 1),
+                 ((0, 0), (1, 1), (1, wq - w - 1), (0, 0)))
     wtall = _pack_wT(wT).astype(x.dtype)
     wcall = _pack_wC(wC).astype(x.dtype)
 
@@ -197,7 +206,7 @@ def fused_convT_bn_relu_conv(x, wT, scale, bias, wC, *, eps=1e-5, tm=32,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, n_tiles, 2, cm), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tm + 2, w + 2, ci), x.dtype),
+            pltpu.VMEM((tm + 2, wq, ci), x.dtype),
             pltpu.VMEM((tm + 1, w + 1 + _wpad(w), 4 * ci), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
@@ -229,7 +238,7 @@ def fused_convT_bn_relu_conv(x, wT, scale, bias, wC, *, eps=1e-5, tm=32,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, co), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tm + 2, w + 2, ci), x.dtype),
+            pltpu.VMEM((tm + 2, wq, ci), x.dtype),
             pltpu.VMEM((tm + 1, w + 1 + _wpad(w), 4 * ci), x.dtype),
             pltpu.VMEM((tm, w, 16 * cm), x.dtype),
             pltpu.SemaphoreType.DMA,

@@ -26,6 +26,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
+# The env vars above are read by jax at import time; if any pytest plugin
+# imported jax before this conftest ran they were lost — set explicitly
+# (the persistent cache otherwise stays "disabled/not initialized" and every
+# CPU-mesh train-step test recompiles from scratch, ~9 min suite).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest
 

@@ -1,5 +1,9 @@
-"""Exactness of the fused convT+BN+ReLU+conv Pallas kernel (interpret mode)
-against the unfused composition used by the network interpreter."""
+"""Exactness of the fused convT+BN+ReLU+conv Pallas kernels (interpret mode)
+against the unfused composition used by the network interpreter.
+
+Covers both generations: the NHWC draft (ops/pallas_fused.py) and the
+Mosaic-safe flat-lane form (ops/pallas_bulge.py) that actually lowers on
+real TPUs — see docs/fused_bulge.md."""
 
 import numpy as np
 import pytest
@@ -9,6 +13,7 @@ import jax.numpy as jnp
 
 from dcgan_sr_tpu.ops import nn as N
 from dcgan_sr_tpu.ops.pallas_fused import fused_convT_bn_relu_conv
+from dcgan_sr_tpu.ops.pallas_bulge import fused_bulge_fwd
 
 
 def _reference_pair(x, wT, scale, bias, wC, eps=1e-5):
@@ -39,6 +44,30 @@ def test_fused_pair_matches_composition(bsz, ci, cm, co, hw, tm):
     y_ref, (m_ref, v_ref) = _reference_pair(x, wT, scale, bias, wC)
     y, (m, v) = fused_convT_bn_relu_conv(x, wT, scale, bias, wC, tm=tm,
                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("bsz,ci,cm,co,h,w,tm", [
+    (1, 8, 2, 4, 16, 128, 8),     # minimal legal flat-lane geometry
+    (2, 16, 8, 16, 32, 128, 16),  # gray-3 bulge channel geometry
+    (1, 8, 4, 8, 8, 128, 8),      # single band (first == last)
+])
+def test_flat_lane_bulge_matches_composition(bsz, ci, cm, co, h, w, tm):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(bsz, ci, h, w).astype(np.float32))
+    wT = jnp.asarray(0.1 * rng.randn(ci, cm, 4, 4).astype(np.float32))
+    wC = jnp.asarray(0.1 * rng.randn(co, cm, 4, 4).astype(np.float32))
+    scale = jnp.asarray(1.0 + 0.1 * rng.randn(cm).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.randn(cm).astype(np.float32))
+
+    y_ref, (m_ref, v_ref) = _reference_pair(x, wT, scale, bias, wC)
+    y, (m, v) = fused_bulge_fwd(x, wT, scale, bias, wC, tm=tm,
+                                interpret=True)
     np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
