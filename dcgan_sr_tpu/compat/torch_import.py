@@ -36,17 +36,23 @@ def _modules(seq: T7Object):
     return [mods[k] for k in sorted(mods)]
 
 
-def import_torch_sequential(obj: T7Object, spec, params):
+def import_torch_sequential(obj: T7Object, spec, params, state=None):
     """Copy weights from a deserialized nn.Sequential into `params` (new list).
 
     `spec`/`params` from models.init_network.  Consumes the torch module list
     positionally: each spec conv/convT layer takes one conv module and, if
     bn=True, the following BatchNormalization module.
+
+    If a `state` pytree is given, BN running statistics (running_mean /
+    running_var — torch keeps them even in train mode) are copied into a new
+    state list returned as the second element, enabling running-stats
+    inference (infer.tiled.make_generator_fn(bn_eval=True)).
     """
     if obj.torch_type != "nn.Sequential":
         raise ValueError(f"expected nn.Sequential, got {obj.torch_type}")
     mods = _modules(obj)
     out = [dict(p) for p in params]
+    out_state = None if state is None else [dict(s) for s in state]
     mi = 0
 
     def next_module():
@@ -80,9 +86,21 @@ def import_torch_sequential(obj: T7Object, spec, params):
                                  f"got {bn.torch_type}")
             out[li]["bn_scale"] = jnp.asarray(np.asarray(bn["weight"], np.float32))
             out[li]["bn_bias"] = jnp.asarray(np.asarray(bn["bias"], np.float32))
+            if out_state is not None and "running_mean" in bn:
+                out_state[li]["bn"] = {
+                    "mean": jnp.asarray(
+                        np.asarray(bn["running_mean"], np.float32)),
+                    "var": jnp.asarray(
+                        np.asarray(bn["running_var"], np.float32)),
+                }
+    if state is not None:
+        return out, out_state
     return out
 
 
-def import_torch_generator(path, spec, params):
-    """Load a reference netG/netD `.t7` file into matching params."""
-    return import_torch_sequential(load_t7(path), spec, params)
+def import_torch_generator(path, spec, params, state=None):
+    """Load a reference netG/netD `.t7` file into matching params.
+
+    With `state`, also returns the BN running stats (see
+    import_torch_sequential)."""
+    return import_torch_sequential(load_t7(path), spec, params, state)

@@ -29,16 +29,22 @@ from ..models import apply_network, generator_spec
 from .seam import seam_stitch
 
 
-def make_generator_fn(cfg, jit=True):
+def make_generator_fn(cfg, jit=True, bn_eval=False):
     """Returns gen(params, state, lr_batch) -> hr_batch, (B, nc, h, w) in/out.
 
-    Runs in train mode (batch statistics) — the reference never switches its
-    nets to evaluate mode, so inference parity requires batch stats too.
+    Default runs in train mode (batch statistics) — the reference never
+    switches its nets to evaluate mode, so inference parity requires batch
+    stats too.  `bn_eval=True` is the intent mode for SINGLE-image/small-
+    batch inference: BN normalizes with the checkpoint's running statistics
+    (state), which a lone image's own batch stats cannot stand in for.
+    Measured on the textured protocol: single-image batch-stats inference
+    LOSES to bilinear on every held-out image (17-28 dB) while the same
+    checkpoint's running stats win on every one (28-32 dB) — see PARITY.md.
     """
     spec = generator_spec(cfg)
 
     def gen(params, state, lr):
-        out, _ = apply_network(spec, params, lr, state, train=True)
+        out, _ = apply_network(spec, params, lr, state, train=not bn_eval)
         return out
 
     return jax.jit(gen) if jit else gen

@@ -35,6 +35,36 @@ def test_t7_export_import_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
 
+def test_t7_roundtrip_running_stats(tmp_path):
+    """BN running stats survive export -> import; bn_eval inference matches.
+
+    The running-stats branch enables single-image inference (torch keeps
+    running_mean/running_var even in train mode — the reference's .t7
+    checkpoints carry them)."""
+    cfg = get_config("gray-3", env_override=False, ngf=4)
+    spec = generator_spec(cfg)
+    params, state = init_network(jax.random.PRNGKey(0), spec)
+    # make the running stats distinctive (init is mean 0 / var 1)
+    rng = np.random.RandomState(7)
+    state = [({"bn": {"mean": jnp.asarray(rng.randn(*np.shape(s["bn"]["mean"]))
+                                          .astype(np.float32)),
+                      "var": jnp.asarray(1 + rng.rand(
+                          *np.shape(s["bn"]["var"])).astype(np.float32))}}
+              if s else s) for s in state]
+    p = str(tmp_path / "our_net_G.t7")
+    export_torch_generator(p, spec, params, state)
+
+    fresh_p, fresh_s = init_network(jax.random.PRNGKey(9), spec)
+    back_p, back_s = import_torch_generator(p, spec, fresh_p, fresh_s)
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 1, 32, 32), jnp.float32)
+    y0, _ = apply_network(spec, params, x, state, train=False)
+    y1, _ = apply_network(spec, back_p, x, back_s, train=False)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    # and it is genuinely the eval path: train-mode output differs
+    y2, _ = apply_network(spec, back_p, x, back_s, train=True)
+    assert float(np.abs(np.asarray(y2) - np.asarray(y1)).max()) > 1e-4
+
+
 def test_dataset_dispatch():
     src = make_dataset("synthetic", fine_size=16, nc=1, seed=3)
     assert src.load_batch(0, 2).shape == (2, 1, 16, 16)

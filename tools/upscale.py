@@ -35,6 +35,14 @@ def main(argv=None):
                     help="optionally resize the input to NxN first (the old "
                          "fixed-64 behavior was --resize 64); default is "
                          "native-size SR with pad-and-crop tiling")
+    ap.add_argument("--bn-eval", action="store_true",
+                    help="normalize BN with the checkpoint's RUNNING stats "
+                         "instead of the input's own batch stats. Reference "
+                         "parity is batch stats (it never calls :evaluate()),"
+                         " but a lone image's batch stats are unrepresentative"
+                         " — measured: batch-stats single-image SR loses to "
+                         "bilinear on every held-out protocol image, running-"
+                         "stats wins on every one (PARITY.md)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -54,21 +62,30 @@ def main(argv=None):
 
     cfg = get_config(args.config)  # env-var overrides apply (ngf=…, etc.)
     state = init_train_state(cfg, jax.random.PRNGKey(0))
-    g_params = state.g_params
+    g_params, g_state = state.g_params, state.g_state
 
     if args.t7:
         from dcgan_sr_tpu.compat import import_torch_generator
-        g_params = import_torch_generator(args.t7, generator_spec(cfg),
-                                          g_params)
+        g_params, g_state = import_torch_generator(
+            args.t7, generator_spec(cfg), g_params, g_state)
         print(f"loaded Torch checkpoint {args.t7}")
     elif args.ckpt:
         import jax.tree_util as jtu
         from dcgan_sr_tpu.train.checkpoint import _SAFE
+
+        def load_branch(key, tree):
+            flat, treedef = jtu.tree_flatten_with_path({key: tree})
+            new = [data["/".join(_SAFE.sub("_", str(p)) for p in path)]
+                   .astype(np.float32) for path, _ in flat]
+            return jtu.tree_unflatten(treedef, new)[key]
+
         data = np.load(args.ckpt)
-        flat, treedef = jtu.tree_flatten_with_path({"params": g_params})
-        new = [data["/".join(_SAFE.sub("_", str(p)) for p in path)]
-               .astype(np.float32) for path, _ in flat]
-        g_params = jtu.tree_unflatten(treedef, new)["params"]
+        g_params = load_branch("params", g_params)
+        if any(k.startswith("_state_") for k in data.files):
+            g_state = load_branch("state", g_state)
+        elif args.bn_eval:
+            sys.exit("--bn-eval needs BN running stats, but this checkpoint "
+                     "has no 'state' branch")
         print(f"loaded checkpoint {args.ckpt}")
     else:
         print("WARNING: no checkpoint given; using random init")
@@ -78,7 +95,7 @@ def main(argv=None):
         img = _resize_chw(img, args.resize, args.resize)
     hw = img[0] if cfg.nc == 1 else img
     H, W = hw.shape[-2], hw.shape[-1]
-    gen = make_generator_fn(cfg)
+    gen = make_generator_fn(cfg, bn_eval=args.bn_eval)
 
     mode = args.mode
     if mode == "auto":
@@ -114,12 +131,12 @@ def main(argv=None):
         print(f"padded {H}x{W} -> {Hp}x{Wp} for {mode} tiling")
 
     if mode == "overlap":
-        res = sr_overlap_image(cfg, gen, g_params, state.g_state, hw_np)
+        res = sr_overlap_image(cfg, gen, g_params, g_state, hw_np)
         fake = res["seam"]
     elif mode == "grid":
-        fake = sr_grid_patches(cfg, gen, g_params, state.g_state, hw_np)
+        fake = sr_grid_patches(cfg, gen, g_params, g_state, hw_np)
     else:
-        fake, _ = sr_full_image(cfg, gen, g_params, state.g_state, hw_np)
+        fake, _ = sr_full_image(cfg, gen, g_params, g_state, hw_np)
 
     fake = np.asarray(fake)[..., :H, :W]
     save_image(args.output, np.clip(np.asarray(to_display(fake)), 0, 1))
