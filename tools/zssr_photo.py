@@ -46,9 +46,9 @@ def main(argv=None):
     ap.add_argument("--gan-weight", type=float, default=0.0,
                     help="adversarial gradient scale for G. Default 0: on a "
                          "single image D overfits and destabilizes G "
-                         "(measured: gan_weight 1 lost to bilinear by 1.4 dB "
-                         "where 0 wins); raise it to taste for texture "
-                         "hallucination")
+                         "(measured on grace_hopper, PARITY.md: gan_weight 1 "
+                         "loses to bilinear by 1.4 dB, gan_weight 0 beats it "
+                         "by +1.9 dB); raise it for texture hallucination")
     ap.add_argument("--holdout", type=float, default=0.25,
                     help="bottom fraction of the photo held out for eval")
     ap.add_argument("--seed", type=int, default=42)
