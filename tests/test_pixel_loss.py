@@ -36,7 +36,9 @@ def test_pixel_loss_pulls_g_toward_real():
     than in the pure-adversarial run (8x8 patch config for fast CPU steps)."""
     hr = jnp.asarray(np.random.RandomState(3).rand(64, 1, 8, 8), jnp.float32)
 
-    def run(weight, steps=150):
+    def run(weight, steps=75):
+        # NB: a lax.scan multi-step here measured 5x SLOWER end-to-end on
+        # CPU — the scanned program's compile dwarfs the dispatch loop.
         cfg = get_config("gray-patch-batch", env_override=False,
                          pixel_loss_weight=weight, **TINY)
         st = init_train_state(cfg, jax.random.PRNGKey(4))
