@@ -97,8 +97,9 @@ def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
     return {"tiles": fake_tiles, "naive": naive, "seam": seam}
 
 
-def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None):
-    """One jitted program: batched overlap SR of (N, fine, fine) images ->
+def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
+                       bn_eval=False):
+    """One jitted program: batched overlap SR of (N, H, W) images ->
     dict of stacked naive and seam-stitched outputs.  The whole pipeline —
     tile extraction, per-tile box downsample, the batched generator over
     N*L*L tiles, the naive stitch and the scan-based seam DP — runs on
@@ -108,11 +109,17 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None):
     With `mesh`, images shard over the data axis and each chip runs its
     slice's full pipeline independently (the tiled-inference path sharded
     over ICI — SURVEY.md §5 long-context row); params replicate.
+
+    `fine` overrides the image size as (H, W) — both dims must satisfy
+    (dim - overlap) % (patch - overlap) == 0; default cfg.fineSize square.
+    `bn_eval` normalizes BN with running stats instead of per-image tile
+    batch stats (see make_generator_fn).
     """
     from ..models import apply_network, generator_spec
     from .seam_device import seam_stitch_device
 
-    fine, patch, ov = cfg.fineSize, cfg.patchSize, cfg.overlap
+    patch, ov = cfg.patchSize, cfg.overlap
+    fine = (cfg.fineSize, cfg.fineSize) if fine is None else tuple(fine)
     spec = generator_spec(cfg)
 
     def one_image(params, state, image):
@@ -121,7 +128,7 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None):
         # BN statistics are per-image (the reference feeds one image's 225
         # tiles as the generator batch, overlap:427-431) — vmapping the whole
         # per-image pipeline preserves that
-        fake, _ = apply_network(spec, params, lr, state, train=True,
+        fake, _ = apply_network(spec, params, lr, state, train=not bn_eval,
                                 compute_dtype=compute_dtype)
         fake = fake[:, 0]
         return (stitch_overlap_naive(fake, fine, patch, ov),

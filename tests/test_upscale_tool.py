@@ -65,6 +65,27 @@ def test_upscale_t7_overlap(assets):
     assert os.path.isfile(out_png)
 
 
+def test_upscale_batch_dir_sharded(assets):
+    """Directory batch mode: mixed-size images through ONE sharded overlap-SR
+    program (8-device virtual mesh), outputs cropped back to native sizes."""
+    from dcgan_sr_tpu.image.io import load_image, save_image
+    ind = assets / "batch_in"
+    ind.mkdir(exist_ok=True)
+    rng = np.random.RandomState(5)
+    save_image(str(ind / "a.png"), rng.rand(40, 40).astype(np.float32))
+    save_image(str(ind / "b.png"), rng.rand(28, 36).astype(np.float32))
+    save_image(str(ind / "c.png"), rng.rand(40, 24).astype(np.float32))
+    outd = str(assets / "batch_out")
+    r = _run(["--config", "gray-patch-batch-overlap", "--dp",
+              "--t7", str(assets / "ref_net_G.t7"),
+              "--input", str(ind), "--output", outd])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sharded over 8 devices" in r.stdout, r.stdout
+    assert load_image(os.path.join(outd, "a_sr.png"), nc=1).shape == (1, 40, 40)
+    assert load_image(os.path.join(outd, "b_sr.png"), nc=1).shape == (1, 28, 36)
+    assert load_image(os.path.join(outd, "c_sr.png"), nc=1).shape == (1, 40, 24)
+
+
 def test_upscale_native_size_nonsquare(assets):
     """Arbitrary-size inference: a 90x70 image SRs at native size through the
     overlap path (pad-and-crop), generalizing overlap:387-399's fixed 64."""

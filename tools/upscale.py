@@ -22,13 +22,91 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+_IMG_EXT = (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".pgm")
+
+
+def batch_upscale(args, cfg, g_params, g_state):
+    """Directory mode: ONE jitted overlap-SR program over all images,
+    optionally sharded over the device mesh (--dp).  Images of mixed sizes
+    are edge-padded to a common overlap-legal (Hp, Wp) and cropped back —
+    the tiled path generalizes by construction
+    (train-gray-patch-batch-overlap.lua:387-399)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from dcgan_sr_tpu.image.io import load_image, save_image
+    from dcgan_sr_tpu.image.ops import box_downsample2, resize_bilinear, to_display
+    from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
+    from dcgan_sr_tpu.metrics import cal_psnr
+
+    if cfg.nc != 1:
+        sys.exit("batch mode currently supports grayscale configs (nc=1)")
+    names = sorted(n for n in os.listdir(args.input)
+                   if n.lower().endswith(_IMG_EXT))
+    if not names:
+        sys.exit(f"no images in {args.input}")
+    imgs = [load_image(os.path.join(args.input, n), nc=1)[0] for n in names]
+    sizes = [im.shape for im in imgs]
+
+    p, ov = cfg.patchSize, cfg.overlap
+    q = p - ov
+
+    def pad_dim(d):
+        d2 = max(d, p)
+        d2 += (q - (d2 - ov) % q) % q
+        while d2 % 2:
+            d2 += q
+        return d2
+
+    Hp = pad_dim(max(h for h, _ in sizes))
+    Wp = pad_dim(max(w for _, w in sizes))
+    batch = np.stack([np.pad(im, ((0, Hp - im.shape[0]), (0, Wp - im.shape[1])),
+                             mode="edge") for im in imgs])
+
+    mesh = None
+    n = len(batch)
+    if args.dp:
+        from dcgan_sr_tpu.parallel import create_mesh
+        ndev = len(jax.devices())
+        mesh = create_mesh(ndev)
+        pad_n = (-n) % ndev              # shardable image count
+        if pad_n:
+            reps = np.concatenate([batch] * (1 + pad_n // n))
+            batch = np.concatenate([batch, reps[:pad_n]])
+    fn = make_overlap_sr_fn(cfg, mesh=mesh, fine=(Hp, Wp),
+                            bn_eval=args.bn_eval)
+    t0 = time.perf_counter()
+    out = fn(g_params, g_state, jnp.asarray(batch))
+    seam = np.asarray(out["seam"])[:n]
+    dt = time.perf_counter() - t0
+    os.makedirs(args.output, exist_ok=True)
+    for name, im, (h, w), sr in zip(names, imgs, sizes, seam):
+        sr = sr[:h, :w]
+        dst = os.path.join(args.output, os.path.splitext(name)[0] + "_sr.png")
+        save_image(dst, np.clip(np.asarray(to_display(sr)), 0, 1))
+        bil = np.asarray(resize_bilinear(box_downsample2(im), *im.shape))
+        print(f"{name}: {h}x{w}  PSNR(G)={float(cal_psnr(im, sr)):.3f}  "
+              f"PSNR(bilinear)={float(cal_psnr(im, bil)):.3f}")
+    mp = sum(h * w for h, w in sizes) / 1e6
+    print(f"batch: {n} images ({mp:.2f} MP) in {dt:.2f}s incl. compile "
+          f"({'sharded over ' + str(len(jax.devices())) + ' devices' if mesh is not None else 'single device'})")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="gray-3")
     ap.add_argument("--ckpt", help="framework checkpoint (…_net_G.npz)")
     ap.add_argument("--t7", help="reference Torch checkpoint (net_G.t7)")
-    ap.add_argument("--input", required=True, help="image file (any size)")
-    ap.add_argument("--output", required=True, help="output PNG path")
+    ap.add_argument("--input", required=True,
+                    help="image file (any size), or a DIRECTORY of images "
+                         "for batch mode (one jitted sharded overlap-SR "
+                         "program over all images; requires a gray config)")
+    ap.add_argument("--output", required=True,
+                    help="output PNG path (batch mode: output directory)")
+    ap.add_argument("--dp", action="store_true",
+                    help="batch mode: shard images over all visible devices")
     ap.add_argument("--mode", default="auto",
                     choices=["auto", "full", "grid", "overlap"])
     ap.add_argument("--resize", type=int, default=None, metavar="N",
@@ -89,6 +167,9 @@ def main(argv=None):
         print(f"loaded checkpoint {args.ckpt}")
     else:
         print("WARNING: no checkpoint given; using random init")
+
+    if os.path.isdir(args.input):
+        return batch_upscale(args, cfg, g_params, g_state)
 
     img = load_image(args.input, nc=cfg.nc)
     if args.resize:
