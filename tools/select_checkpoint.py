@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Rank per-epoch checkpoints by TRAIN-slice PSNR and report the winner's
+held-out numbers — honest model selection for the quality protocol.
+
+The reference has no model selection (it evaluates whatever the last epoch
+left behind, train-gray-3.lua:354-535). GAN training oscillates: on the
+150-epoch textured run the train-slice PSNR swings by >3 dB between
+neighboring epochs and collapses after epoch ~104 (D destabilization;
+PARITY.md). Selecting the epoch on the TRAIN slice (never the test slice)
+and then scoring that one checkpoint on the held-out slice keeps the
+reported test number unbiased.
+
+Usage:
+  python tools/select_checkpoint.py --dir checkpoints_quality \
+      [--config gray-3] [--epochs 50:91] [--select-sets 3] [--full]
+
+With --full, the winner is re-scored on the full 21-set (2,100-image)
+train and test slices in the reference's print format.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", required=True, help="checkpoint directory")
+    ap.add_argument("--config", default="gray-3")
+    ap.add_argument("--epochs", default=None,
+                    help="a:b python-range slice of epochs (default: all found)")
+    ap.add_argument("--select-sets", type=int, default=3,
+                    help="train file_sets used for ranking (100 imgs each)")
+    ap.add_argument("--full", action="store_true",
+                    help="full 2,100-image train+test eval of the winner")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dcgan_sr_tpu.core import get_config
+    from dcgan_sr_tpu.data.synthetic import TexturedImages
+    from dcgan_sr_tpu.evaluation.harness import evaluate_slice
+    from dcgan_sr_tpu.train import init_train_state
+    from dcgan_sr_tpu.train.checkpoint import latest_epoch, load_checkpoint
+
+    cfg = get_config(args.config)
+    src = TexturedImages(cfg.fineSize, nc=1 if cfg.nc == 1 else cfg.nc,
+                         seed=1234)
+    template = init_train_state(cfg, jax.random.PRNGKey(0))
+
+    if args.epochs:
+        a, b = args.epochs.split(":")
+        epochs = range(int(a), int(b))
+    else:
+        epochs = range(1, (latest_epoch(args.dir, cfg.name) or 0) + 1)
+
+    best = None
+    for ep in epochs:
+        try:
+            st = load_checkpoint(args.dir, cfg.name, ep, template)
+        except FileNotFoundError:
+            continue
+        r = evaluate_slice(cfg, None, st.g_params, st.g_state, src,
+                           range(args.select_sets))
+        print(f"epoch {ep}: train-slice PSNR {r.psnr_generator:.3f} "
+              f"SSIM {r.ssim_generator:.5f}", flush=True)
+        if best is None or r.psnr_generator > best[1]:
+            best = (ep, r.psnr_generator)
+
+    if best is None:
+        sys.exit(f"no checkpoints for {cfg.name} in {args.dir}")
+    print(f"BEST by train-slice PSNR: epoch {best[0]} ({best[1]:.3f} dB)")
+
+    if args.full:
+        st = load_checkpoint(args.dir, cfg.name, best[0], template)
+        for tag, sets in (("Train-set", range(0, 21)),
+                          ("Test-set", range(2000, 2021))):
+            r = evaluate_slice(cfg, None, st.g_params, st.g_state, src, sets)
+            r.print_reference_style(tag=tag)
+
+
+if __name__ == "__main__":
+    main()
