@@ -63,6 +63,7 @@ def test_fast_generator_matches_standard(variant):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # opt-in rewrites (measured slower than XLA); grad check is heavy
 def test_fast_gradients_match():
     cfg = get_config("gray-3", env_override=False, ngf=4)
     spec = generator_spec(cfg)

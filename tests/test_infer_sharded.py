@@ -15,7 +15,7 @@ TINY = dict(ngf=4, ndf=8)
 def test_sharded_overlap_sr_matches_single():
     cfg = get_config("gray-patch-batch-overlap", env_override=False, **TINY)
     st = init_train_state(cfg, jax.random.PRNGKey(0))
-    imgs = jnp.asarray(np.random.RandomState(0).rand(16, 64, 64), jnp.float32)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(8, 64, 64), jnp.float32)
 
     single = make_overlap_sr_fn(cfg)(st.g_params, st.g_state, imgs)
     mesh = create_mesh(8)

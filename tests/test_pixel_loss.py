@@ -31,6 +31,10 @@ def test_zero_weight_is_exact_parity():
     assert all(jax.tree_util.tree_leaves(same))
 
 
+import pytest
+
+
+@pytest.mark.slow  # training-dynamics check: 2x75 optimization steps on CPU
 def test_pixel_loss_pulls_g_toward_real():
     """With a large pixel weight, reconstruction error must drop much faster
     than in the pure-adversarial run (8x8 patch config for fast CPU steps)."""
