@@ -216,7 +216,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        from dcgan_sr_tpu.utils.cache import pin_cpu
+        pin_cpu(jax)
 
     overrides = {}
     if args.bf16:

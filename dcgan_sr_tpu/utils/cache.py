@@ -1,0 +1,49 @@
+"""Per-machine XLA:CPU persistent compile cache selection.
+
+XLA:CPU AOT results embed the compile host's CPU feature set; loading an
+entry produced on a different machine fails the feature check and falls back
+to a FULL recompile after paying the failed-load cost — a cache dir shared
+across machines is slower than no cache at all (measured: 12.9 s vs 3.4 s
+for the fused gray-3 train step). TPU program cache entries are keyed by the
+TPU target, not the host, so the shared `.jax_cache` stays correct for TPU.
+
+`pin_cpu()` is the one call every CPU-pinned entry point (tests conftest,
+CLI/tools `--cpu`) should make: it pins the platform AND routes the compile
+cache to a host-fingerprinted directory, unless the caller already set
+JAX_COMPILATION_CACHE_DIR explicitly.
+"""
+
+import hashlib
+import os
+import platform
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def machine_cpu_cache_dir(root=_REPO):
+    """Compile-cache dir keyed by this host's CPU feature flags."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    tag = hashlib.sha1((platform.machine() + flags).encode()).hexdigest()[:10]
+    return os.path.join(root, ".jax_cache_cpu_" + tag)
+
+
+def pin_cpu(jax, min_compile_secs=0.5):
+    """Pin jax to CPU and enable the per-machine persistent compile cache.
+
+    Must run after `import jax` but before any operation touches the backend
+    (the axon TPU plugin force-prepends itself to JAX_PLATFORMS, so env vars
+    alone cannot pin the platform).
+    """
+    jax.config.update("jax_platforms", "cpu")
+    # an explicitly exported cache dir wins; otherwise per-machine default
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+        or machine_cpu_cache_dir()
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return cache

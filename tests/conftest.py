@@ -16,34 +16,18 @@ if "host_platform_device_count" not in flags:
 
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-
-def _cpu_cache_dir():
-    """Per-machine XLA:CPU compile cache.
-
-    XLA:CPU AOT results embed the compile machine's CPU features; loading an
-    entry produced on a different host falls back to a FULL recompile (after
-    paying the failed-load cost) — a poisoned shared cache made the suite
-    slower than no cache at all. Key the directory by the host's CPU flags so
-    each machine warms its own cache. (.jax_cache stays for TPU programs,
-    whose entries are keyed by the TPU target, not the host.)
-    """
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        flags = ""
-    import platform
-    tag = hashlib.sha1((platform.machine() + flags).encode()).hexdigest()[:10]
-    return os.path.join(_repo, ".jax_cache_cpu_" + tag)
-
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cpu_cache_dir())
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-
 import sys
 
 sys.path.insert(0, _repo)
+
+# Per-machine XLA:CPU compile cache (dcgan_sr_tpu/utils/cache.py): entries
+# from another host fail XLA's CPU-feature check and force full recompiles,
+# so a shared cache dir is slower than none. Set the env var too so CPU
+# subprocess tests (CLI/tools --cpu) inherit the same cache.
+from dcgan_sr_tpu.utils.cache import machine_cpu_cache_dir  # noqa: E402
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", machine_cpu_cache_dir())
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax
 

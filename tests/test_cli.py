@@ -14,8 +14,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run(args, env_extra=None, timeout=420):
     env = dict(os.environ)
-    env.update({"ngf": "4", "ndf": "8", "batchSize": "4", "ntrain": "8",
-                "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".jax_cache")})
+    # JAX_COMPILATION_CACHE_DIR is inherited from conftest (per-machine CPU dir)
+    env.update({"ngf": "4", "ndf": "8", "batchSize": "4", "ntrain": "8"})
     env.update(env_extra or {})
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "train.py"), "--cpu",

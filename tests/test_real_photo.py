@@ -35,8 +35,7 @@ def _grace_hopper():
 
 
 def _run(args, ngf="4"):
-    env = dict(os.environ, ngf=ngf, ndf="8",
-               JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_cache"))
+    env = dict(os.environ, ngf=ngf, ndf="8")  # cache dir inherited (conftest)
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "upscale.py"), "--cpu"]
         + args, capture_output=True, text=True, timeout=420, env=env, cwd=REPO)

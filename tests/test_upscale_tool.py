@@ -37,8 +37,7 @@ def assets(tmp_path_factory):
 
 
 def _run(args):
-    env = dict(os.environ, ngf="4", ndf="8",
-               JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_cache"))
+    env = dict(os.environ, ngf="4", ndf="8")  # cache dir inherited (conftest)
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "upscale.py"), "--cpu"]
         + args, capture_output=True, text=True, timeout=420, env=env, cwd=REPO)

@@ -61,7 +61,8 @@ def main(argv=None):
 
     import jax
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        from dcgan_sr_tpu.utils.cache import pin_cpu
+        pin_cpu(jax)
     import jax.numpy as jnp
 
     from dcgan_sr_tpu.core import get_config

@@ -40,7 +40,8 @@ def main():
 
     import jax
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        from dcgan_sr_tpu.utils.cache import pin_cpu
+        pin_cpu(jax)
 
     from dcgan_sr_tpu.core import get_config
     from dcgan_sr_tpu.data.synthetic import TexturedImages
