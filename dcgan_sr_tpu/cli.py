@@ -166,6 +166,9 @@ def main(argv=None):
                     help="one of the 7 reference variants")
     ap.add_argument("--steps", type=int, default=None,
                     help="steps per epoch (default: ntrain/batchSize)")
+    ap.add_argument("--scan", type=int, default=1,
+                    help="fuse K steps into one lax.scan program (one "
+                         "dispatch per K steps; epoch math unchanged)")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--synthetic", action="store_true")
@@ -256,13 +259,22 @@ def main(argv=None):
             print(f"resumed from epoch {ep}")
 
     prepare = None
+    multi_step_fn = None
     if args.dp and jax.device_count() > 1:
+        from .parallel import build_dp_multi_step
         mesh = create_mesh()
         step_fn = build_dp_train_step(cfg, mesh)
-        prepare = lambda b: shard_batch(jnp.asarray(b), mesh)
+        # batch_dim 1 shards the B axis of a (K, B, ...) scan super-batch
+        prepare = lambda b: shard_batch(
+            jnp.asarray(b), mesh, batch_dim=np.asarray(b).ndim - 4)
+        if args.scan > 1:
+            multi_step_fn = build_dp_multi_step(cfg, mesh)
         print(f"data-parallel over {jax.device_count()} devices")
     else:
         step_fn = jax.jit(build_train_step(cfg), donate_argnums=(0,))
+        if args.scan > 1:
+            from .train.multi_step import jit_multi_step
+            multi_step_fn = jit_multi_step(cfg)
 
     epochs = args.epochs if args.epochs is not None else cfg.niter
     if args.steps is not None:
@@ -284,7 +296,9 @@ def main(argv=None):
                                 niter=epochs, steps_per_epoch=steps,
                                 checkpoint_dir=args.checkpoint_dir,
                                 prepare_batch=prepare, logger=logger,
-                                log_every=args.log_every)
+                                log_every=args.log_every,
+                                scan_steps=args.scan,
+                                multi_step_fn=multi_step_fn)
     if logger is not None:
         logger.close()
 

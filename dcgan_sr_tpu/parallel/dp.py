@@ -15,9 +15,13 @@ from jax.sharding import PartitionSpec as P
 from ..train.step import build_train_step
 
 
-def shard_batch(batch, mesh, axis_name="data"):
-    """Place a host batch sharded over the mesh's data axis."""
-    sharding = jax.sharding.NamedSharding(mesh, P(axis_name))
+def shard_batch(batch, mesh, axis_name="data", batch_dim=0):
+    """Place a host batch sharded over the mesh's data axis.
+
+    batch_dim selects which dimension shards (1 for a (K, B, ...) scan
+    super-batch whose leading dim is the step axis)."""
+    spec = P(*([None] * batch_dim + [axis_name]))
+    sharding = jax.sharding.NamedSharding(mesh, spec)
     return jax.device_put(batch, sharding)
 
 
@@ -33,6 +37,28 @@ def build_dp_train_step(cfg, mesh, *, jit=True):
     mapped = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    if jit:
+        mapped = jax.jit(mapped, donate_argnums=(0,))
+    return mapped
+
+
+def build_dp_multi_step(cfg, mesh, *, jit=True):
+    """K scanned DP steps in ONE program: shard_map over the per-shard scan.
+
+    hr_batches: (K, B, ...) with B sharded over the data axis (use
+    shard_batch(..., batch_dim=1)). The scan body is the same cross-replica
+    step as build_dp_train_step, so DP == single-device math holds stepwise.
+    """
+    from ..train.multi_step import build_multi_step
+
+    axis = cfg.data_axis
+    mstep = build_multi_step(cfg, axis_name=axis)
+    mapped = shard_map(
+        mstep, mesh=mesh,
+        in_specs=(P(), P(None, axis)),
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -19,20 +19,30 @@ from .step import TrainState, build_train_step
 
 def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
                  steps_per_epoch=None, log_fn=None, checkpoint_dir=None,
-                 prepare_batch=None, logger: MetricsLogger = None, log_every=1):
+                 prepare_batch=None, logger: MetricsLogger = None, log_every=1,
+                 scan_steps=1, multi_step_fn=None):
     """Run the training loop.
 
     batch_fn(epoch, step_index) -> (B, C, H, W) HR batch (numpy or jax array)
     step_fn: jitted train step (defaults to single-device jit of cfg's step)
-    prepare_batch: optional device placement hook (e.g. parallel.shard_batch)
+    prepare_batch: optional device placement hook (e.g. parallel.shard_batch);
+    receives either a (B, ...) batch or, when scanning, a (K, B, ...)
+    super-batch
     logger: optional MetricsLogger (default: stdout-only, reference format)
     log_every: fetch/print metrics every N steps.  1 = per-step logging like
     the reference (train.lua:286-293) — note each fetch synchronizes the
     device; larger values let dispatch run ahead and overlap the host-side
     batch_fn with device compute.
+    scan_steps: K>1 runs full K-step chunks through ONE lax.scan program
+    (multi_step_fn, default train.multi_step.jit_multi_step) — one dispatch
+    per K steps; the epoch's remainder steps run through step_fn. Epoch math
+    is unchanged (scan body == the single-step program; tested equivalent).
     """
     if step_fn is None:
         step_fn = jax.jit(build_train_step(cfg), donate_argnums=(0,))
+    if scan_steps > 1 and multi_step_fn is None:
+        from .multi_step import jit_multi_step
+        multi_step_fn = jit_multi_step(cfg)
     niter = niter if niter is not None else cfg.niter
     if steps_per_epoch is None:
         ntrain = cfg.ntrain if np.isfinite(cfg.ntrain) else cfg.batchSize
@@ -46,21 +56,34 @@ def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
     try:
         for epoch in range(1, niter + 1):
             epoch_tm.reset()
-            for i in range(steps_per_epoch):
+            i = 0
+            while i < steps_per_epoch:
+                k = scan_steps if (scan_steps > 1
+                                   and steps_per_epoch - i >= scan_steps) else 1
                 tm.reset()
                 data_tm.reset()
-                hr = batch_fn(epoch, i)
+                if k > 1:
+                    hr = np.stack([np.asarray(batch_fn(epoch, i + j))
+                                   for j in range(k)])
+                else:
+                    hr = batch_fn(epoch, i)
                 if prepare_batch is not None:
                     hr = prepare_batch(hr)
                 data_tm.stop()
 
-                state, metrics = step_fn(state, hr)
+                if k > 1:
+                    state, stacked = multi_step_fn(state, hr)
+                    metrics = {key: v[-1] for key, v in stacked.items()}
+                else:
+                    state, metrics = step_fn(state, hr)
                 metrics_last = metrics
-                if (i + 1) % log_every == 0 or i == steps_per_epoch - 1:
-                    metrics_host = {k: float(v) for k, v in metrics.items()}
-                    logger.log_step(epoch, i, steps_per_epoch,
+                done = i + k
+                if (done % log_every < k) or done == steps_per_epoch:
+                    metrics_host = {key: float(v) for key, v in metrics.items()}
+                    logger.log_step(epoch, done - 1, steps_per_epoch,
                                     tm.time()["real"], data_tm.time()["real"],
                                     metrics_host)
+                i = done
             logger.log_epoch(epoch, niter, epoch_tm.time()["real"])
             if checkpoint_dir is not None:
                 from .checkpoint import save_checkpoint

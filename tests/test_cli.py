@@ -91,3 +91,15 @@ def test_cli_patch_eval_protocol(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "[Train-set] PSNR btwn real_none & real_bilinear" in out.stdout
     assert "[Test-set] PSNR btwn real_none & fake_none" in out.stdout
+
+
+def test_cli_scan_runner(tmp_path):
+    """--scan K: chunked lax.scan training through the CLI (tail step incl.)."""
+    out = _run(["--config", "gray-patch-batch", "--steps", "5", "--epochs", "1",
+                "--scan", "2",
+                "--metrics-jsonl", str(tmp_path / "m.jsonl")])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "End of epoch 1 / 1" in out.stdout
+    recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    # chunk ends at steps 2, 4 and the tail step 5 -> 3 metric records
+    assert len(recs) == 3 and all("errG" in r for r in recs)

@@ -54,3 +54,60 @@ def test_bce_with_logits_stable_at_saturation():
     g = jax.grad(lambda l: bce_with_logits_loss(l, target))(logits)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.all(np.abs(np.asarray(g)) <= 1.0)
+
+
+def test_train_epochs_scan_equals_stepwise():
+    """The --scan CLI path (full chunks + remainder tail through the loop
+    driver) must match plain stepwise train_epochs."""
+    from dcgan_sr_tpu.train import train_epochs
+
+    cfg = get_config("gray-patch-batch", env_override=False, **TINY)
+    rng = np.random.RandomState(7)
+    batches = rng.rand(5, 16, 1, 8, 8).astype(np.float32)
+    batch_fn = lambda e, i: batches[i]
+
+    def quiet(*a, **k):
+        pass
+
+    s_seq = init_train_state(cfg, jax.random.PRNGKey(9))
+    s_seq, m_seq = train_epochs(cfg, s_seq, batch_fn, niter=1,
+                                steps_per_epoch=5, log_fn=quiet)
+    s_scan = init_train_state(cfg, jax.random.PRNGKey(9))
+    s_scan, m_scan = train_epochs(cfg, s_scan, batch_fn, niter=1,
+                                  steps_per_epoch=5, log_fn=quiet,
+                                  scan_steps=2)  # 2+2+tail(1)
+
+    np.testing.assert_allclose(float(m_scan["errG"]), float(m_seq["errG"]),
+                               rtol=1e-5, atol=1e-6)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_seq.g_params,
+        s_scan.g_params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_dp_multi_step_matches_single_device():
+    """shard_map'd scanned DP == single-device scan (cross-replica BN+pmean)."""
+    from dcgan_sr_tpu.parallel import build_dp_multi_step, create_mesh, shard_batch
+    from dcgan_sr_tpu.train.multi_step import build_multi_step
+
+    cfg = get_config("gray-3", env_override=False, **TINY)
+    k = 2
+    batches = jnp.asarray(
+        np.random.RandomState(3).rand(k, 8, 1, 64, 64), jnp.float32)
+
+    s0 = init_train_state(cfg, jax.random.PRNGKey(11))
+    s_single, m_single = jax.jit(build_multi_step(cfg))(s0, batches)
+
+    mesh = create_mesh(8)
+    s0b = init_train_state(cfg, jax.random.PRNGKey(11))
+    sharded = shard_batch(batches, mesh, batch_dim=1)
+    s_dp, m_dp = build_dp_multi_step(cfg, mesh)(s0b, sharded)
+
+    np.testing.assert_allclose(np.asarray(m_dp["errG"]),
+                               np.asarray(m_single["errG"]),
+                               rtol=1e-4, atol=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_single.g_params,
+        s_dp.g_params)
+    # two Adam sign-steps of lr=2e-4 bound fp32 reassociation noise
+    assert max(jax.tree_util.tree_leaves(diffs)) < 2 * 2e-4
