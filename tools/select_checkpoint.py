@@ -67,7 +67,7 @@ def main():
         except FileNotFoundError:
             continue
         r = evaluate_slice(cfg, None, st.g_params, st.g_state, src,
-                           range(args.select_sets))
+                           range(args.select_sets), batch_size=100)
         print(f"epoch {ep}: train-slice PSNR {r.psnr_generator:.3f} "
               f"SSIM {r.ssim_generator:.5f}", flush=True)
         if best is None or r.psnr_generator > best[1]:
@@ -79,9 +79,19 @@ def main():
 
     if args.full:
         st = load_checkpoint(args.dir, cfg.name, best[0], template)
-        for tag, sets in (("Train-set", range(0, 21)),
-                          ("Test-set", range(2000, 2021))):
-            r = evaluate_slice(cfg, None, st.g_params, st.g_state, src, sets)
+        if cfg.patch_based:
+            # 500/500 patch protocol, test slice at file_set 10000
+            # (train-gray-patch-batch.lua:365-367,487-489)
+            slices = (("Train-set", range(0, 5)),
+                      ("Test-set", range(10000, 10005)))
+        else:
+            slices = (("Train-set", range(0, 21)),
+                      ("Test-set", range(2000, 2021)))
+        for tag, sets in slices:
+            # file_set = 100 images in every reference protocol
+            # (train-gray-3.lua:360, train-gray-patch-batch.lua:365-367)
+            r = evaluate_slice(cfg, None, st.g_params, st.g_state, src, sets,
+                               batch_size=100)
             r.print_reference_style(tag=tag)
 
 
