@@ -205,6 +205,10 @@ def main(argv=None):
     ap.add_argument("--pixel-loss", type=float, default=None, metavar="W",
                     help="add W * MSE(fake, real) to G's objective "
                          "(surplus over the reference; ~+3 dB at W=100)")
+    ap.add_argument("--g-ema", type=float, default=None, metavar="D",
+                    help="keep an EMA copy of G (decay D, e.g. 0.999) and "
+                         "also report its eval scores — smooths the measured "
+                         "epoch-to-epoch GAN oscillation (PARITY.md)")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (the TPU plugin ignores "
@@ -233,6 +237,8 @@ def main(argv=None):
         overrides["pixel_loss_weight"] = args.pixel_loss
     if args.gan_weight is not None:
         overrides["gan_weight"] = args.gan_weight
+    if args.g_ema is not None:
+        overrides["g_ema"] = args.g_ema
     if args.device_preprocess:
         overrides["device_preprocess"] = True
     if args.compact_params:
@@ -323,6 +329,13 @@ def main(argv=None):
                                       loader,
                                       range(test_start, test_start + args.eval_sets))
             test_res.print_reference_style("Test-set")
+            if state.g_ema_params is not None:
+                for tag, sets in (("Train-set-EMA", range(args.eval_sets)),
+                                  ("Test-set-EMA",
+                                   range(test_start,
+                                         test_start + args.eval_sets))):
+                    evaluate_slice(cfg, gen, state.g_ema_params, state.g_state,
+                                   loader, sets).print_reference_style(tag)
         else:
             print("eval requires an indexed/synthetic loader")
 

@@ -63,6 +63,12 @@ class Config:
     # the generator into a pure reconstruction CNN — with pixel_loss_weight
     # that is the PSNR-optimal regime; errG is still reported unweighted)
     gan_weight: float = 1.0
+    # exponential moving average of G's params (no reference equivalent —
+    # the standard fix for GAN epoch-to-epoch oscillation, measured >3 dB on
+    # the textured protocol, PARITY.md). 0.0 = off (state carries no EMA
+    # branch, exact parity); 0<d<1 maintains ema = d*ema + (1-d)*params each
+    # step, evaluated via state.g_ema_params
+    g_ema: float = 0.0
     # data value range: "pm1" = [-1,1] (folder loader hflip/normalize path),
     # "01" = [0,1] (direct image.load path)
     data_range: str = "01"

@@ -62,6 +62,8 @@ def pack_state(state, g_spec, d_spec):
         g_opt=pack_opt(state.g_opt),
         d_params=pack_params(state.d_params), d_state=state.d_state,
         d_opt=pack_opt(state.d_opt),
+        g_ema_params=(None if state.g_ema_params is None
+                      else pack_params(state.g_ema_params)),
     )
 
 
@@ -78,4 +80,6 @@ def unpack_state(state, g_spec, d_spec):
         g_opt=unpack_opt(state.g_opt, g_spec),
         d_params=unpack_params(state.d_params, d_spec), d_state=state.d_state,
         d_opt=unpack_opt(state.d_opt, d_spec),
+        g_ema_params=(None if state.g_ema_params is None
+                      else unpack_params(state.g_ema_params, g_spec)),
     )

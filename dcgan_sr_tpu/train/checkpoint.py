@@ -37,6 +37,8 @@ def checkpoint_path(directory, name, epoch, net):
 def save_checkpoint(directory, name, epoch, state: TrainState):
     os.makedirs(directory, exist_ok=True)
     g = {"params": state.g_params, "state": state.g_state, "opt": state.g_opt}
+    if state.g_ema_params is not None:
+        g["ema"] = state.g_ema_params
     d = {"params": state.d_params, "state": state.d_state, "opt": state.d_opt}
     for net, tree in (("G", g), ("D", d)):
         np.savez(checkpoint_path(directory, name, epoch, net),
@@ -47,9 +49,11 @@ def save_checkpoint(directory, name, epoch, state: TrainState):
 def load_checkpoint(directory, name, epoch, template: TrainState) -> TrainState:
     """Restore into the (freshly initialized) template's tree structure."""
     new = {}
-    for net, tree in (("G", {"params": template.g_params,
-                             "state": template.g_state,
-                             "opt": template.g_opt}),
+    g_tmpl = {"params": template.g_params, "state": template.g_state,
+              "opt": template.g_opt}
+    if template.g_ema_params is not None:
+        g_tmpl["ema"] = template.g_ema_params
+    for net, tree in (("G", g_tmpl),
                       ("D", {"params": template.d_params,
                              "state": template.d_state,
                              "opt": template.d_opt})):
@@ -67,6 +71,7 @@ def load_checkpoint(directory, name, epoch, template: TrainState) -> TrainState:
     return TrainState(
         g_params=new["G"]["params"], g_state=new["G"]["state"], g_opt=new["G"]["opt"],
         d_params=new["D"]["params"], d_state=new["D"]["state"], d_opt=new["D"]["opt"],
+        g_ema_params=new["G"].get("ema"),
     )
 
 
@@ -87,12 +92,15 @@ def save_checkpoint_orbax(directory, name, epoch, state: TrainState):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, f"{name}_orbax_{epoch}"))
+    tree = {
+        "g_params": state.g_params, "g_state": state.g_state,
+        "g_opt": state.g_opt, "d_params": state.d_params,
+        "d_state": state.d_state, "d_opt": state.d_opt,
+    }
+    if state.g_ema_params is not None:
+        tree["g_ema"] = state.g_ema_params
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, {
-            "g_params": state.g_params, "g_state": state.g_state,
-            "g_opt": state.g_opt, "d_params": state.d_params,
-            "d_state": state.d_state, "d_opt": state.d_opt,
-        }, force=True)
+        ckptr.save(path, tree, force=True)
     return path
 
 
@@ -105,10 +113,13 @@ def load_checkpoint_orbax(directory, name, epoch, template: TrainState) -> Train
         "g_opt": template.g_opt, "d_params": template.d_params,
         "d_state": template.d_state, "d_opt": template.d_opt,
     }
+    if template.g_ema_params is not None:
+        tmpl["g_ema"] = template.g_ema_params
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path, tmpl)
     return TrainState(
         g_params=restored["g_params"], g_state=restored["g_state"],
         g_opt=restored["g_opt"], d_params=restored["d_params"],
         d_state=restored["d_state"], d_opt=restored["d_opt"],
+        g_ema_params=restored.get("g_ema"),
     )

@@ -48,10 +48,15 @@ class TrainState:
     d_params: Any
     d_state: Any
     d_opt: Any
+    # EMA copy of g_params (cfg.g_ema > 0) or None — None flattens to an
+    # empty subtree, so the pytree structure (and every existing checkpoint)
+    # is unchanged when the feature is off
+    g_ema_params: Any = None
 
     def tree_flatten(self):
         return ((self.g_params, self.g_state, self.g_opt,
-                 self.d_params, self.d_state, self.d_opt), None)
+                 self.d_params, self.d_state, self.d_opt,
+                 self.g_ema_params), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -66,6 +71,8 @@ def init_train_state(cfg, key):
     state = TrainState(
         g_params=g_params, g_state=g_state, g_opt=adam_init(g_params),
         d_params=d_params, d_state=d_state, d_opt=adam_init(d_params),
+        g_ema_params=(jax.tree_util.tree_map(jnp.copy, g_params)
+                      if getattr(cfg, "g_ema", 0.0) > 0 else None),
     )
     if getattr(cfg, "compact_params", False):
         # padding-friendly 2-D master weights (ops/compact.py); checkpoints
@@ -191,9 +198,16 @@ def build_train_step(cfg, *, axis_name=None):
         d_params, d_opt = adam_update(state.d_params, gd, state.d_opt, **adam_kw)
         g_params, g_opt = adam_update(state.g_params, gg, state.g_opt, **adam_kw)
 
+        ema = state.g_ema_params
+        if ema is not None and cfg.g_ema > 0:
+            d_ = cfg.g_ema
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d_ * e + (1.0 - d_) * p, ema, g_params)
+
         new_state = TrainState(
             g_params=g_params, g_state=g_state_new, g_opt=g_opt,
             d_params=d_params, d_state=d_state_new, d_opt=d_opt,
+            g_ema_params=ema,
         )
         metrics = {
             "errD": err_d_real + err_d_fake,

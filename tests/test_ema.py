@@ -1,0 +1,72 @@
+"""EMA generator branch (cfg.g_ema): math, neutrality when off, checkpoints."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dcgan_sr_tpu.core import get_config
+from dcgan_sr_tpu.train import build_train_step, init_train_state
+from dcgan_sr_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+TINY = dict(ngf=4, ndf=8)
+
+
+def _batches(k=3):
+    return jnp.asarray(np.random.RandomState(0).rand(k, 8, 1, 8, 8),
+                       jnp.float32)
+
+
+def test_off_by_default_and_training_unchanged():
+    cfg = get_config("gray-patch-batch", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(1))
+    assert st.g_ema_params is None
+    cfg_ema = get_config("gray-patch-batch", env_override=False, g_ema=0.5,
+                         **TINY)
+    st_e = init_train_state(cfg_ema, jax.random.PRNGKey(1))
+    step = jax.jit(build_train_step(cfg))
+    step_e = jax.jit(build_train_step(cfg_ema))
+    for hr in _batches():
+        st, _ = step(st, hr)
+        st_e, _ = step_e(st_e, hr)
+    assert st.g_ema_params is None
+    # the EMA branch observes training without influencing it
+    diffs = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                   st.g_params, st_e.g_params)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_ema_matches_manual_recurrence():
+    d = 0.5  # large (1-d) so drift is far above fp32 noise
+    cfg = get_config("gray-patch-batch", env_override=False, g_ema=d, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(2))
+    expected = jax.tree_util.tree_map(np.asarray, st.g_params)
+    step = jax.jit(build_train_step(cfg))
+    for hr in _batches():
+        st, _ = step(st, hr)
+        expected = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p), expected,
+            st.g_params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        st.g_ema_params, expected)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    cfg = get_config("gray-patch-batch", env_override=False, g_ema=0.9, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(3))
+    step = jax.jit(build_train_step(cfg))
+    for hr in _batches(2):
+        st, _ = step(st, hr)
+    save_checkpoint(str(tmp_path), cfg.name, 1, st)
+    template = init_train_state(cfg, jax.random.PRNGKey(4))
+    st2 = load_checkpoint(str(tmp_path), cfg.name, 1, template)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), st.g_ema_params,
+        st2.g_ema_params)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+    # EMA has drifted away from the live params after 2 steps
+    d2 = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), st2.g_params,
+        st2.g_ema_params)
+    assert max(jax.tree_util.tree_leaves(d2)) > 0.0

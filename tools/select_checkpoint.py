@@ -35,6 +35,9 @@ def main():
                     help="train file_sets used for ranking (100 imgs each)")
     ap.add_argument("--full", action="store_true",
                     help="full 2,100-image train+test eval of the winner")
+    ap.add_argument("--ema", action="store_true",
+                    help="score the EMA branch of checkpoints trained with "
+                         "--g-ema (requires the ema keys in the npz)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -49,7 +52,7 @@ def main():
     from dcgan_sr_tpu.train import init_train_state
     from dcgan_sr_tpu.train.checkpoint import latest_epoch, load_checkpoint
 
-    cfg = get_config(args.config)
+    cfg = get_config(args.config, **({"g_ema": 0.999} if args.ema else {}))
     src = TexturedImages(cfg.fineSize, nc=1 if cfg.nc == 1 else cfg.nc,
                          seed=1234)
     template = init_train_state(cfg, jax.random.PRNGKey(0))
@@ -66,7 +69,8 @@ def main():
             st = load_checkpoint(args.dir, cfg.name, ep, template)
         except FileNotFoundError:
             continue
-        r = evaluate_slice(cfg, None, st.g_params, st.g_state, src,
+        params = st.g_ema_params if args.ema else st.g_params
+        r = evaluate_slice(cfg, None, params, st.g_state, src,
                            range(args.select_sets), batch_size=100)
         print(f"epoch {ep}: train-slice PSNR {r.psnr_generator:.3f} "
               f"SSIM {r.ssim_generator:.5f}", flush=True)
@@ -79,6 +83,7 @@ def main():
 
     if args.full:
         st = load_checkpoint(args.dir, cfg.name, best[0], template)
+        final_params = st.g_ema_params if args.ema else st.g_params
         if cfg.patch_based:
             # 500/500 patch protocol, test slice at file_set 10000
             # (train-gray-patch-batch.lua:365-367,487-489)
@@ -90,7 +95,7 @@ def main():
         for tag, sets in slices:
             # file_set = 100 images in every reference protocol
             # (train-gray-3.lua:360, train-gray-patch-batch.lua:365-367)
-            r = evaluate_slice(cfg, None, st.g_params, st.g_state, src, sets,
+            r = evaluate_slice(cfg, None, final_params, st.g_state, src, sets,
                                batch_size=100)
             r.print_reference_style(tag=tag)
 
