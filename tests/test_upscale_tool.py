@@ -27,6 +27,9 @@ def assets(tmp_path_factory):
     cfg = get_config("gray-3", env_override=False, ngf=4, ndf=8)
     st = init_train_state(cfg, jax.random.PRNGKey(0))
     save_checkpoint(str(d), cfg.name, 1, st)
+    cfg_e = get_config("gray-3", env_override=False, ngf=4, ndf=8, g_ema=0.9)
+    st_e = init_train_state(cfg_e, jax.random.PRNGKey(0))
+    save_checkpoint(str(d / "ema"), cfg.name, 1, st_e)
 
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from test_t7 import _fake_reference_netG
@@ -100,3 +103,17 @@ def test_upscale_native_size_nonsquare(assets):
     assert "size=90x70" in r.stdout
     from dcgan_sr_tpu.image.io import load_image
     assert load_image(out_png, nc=1).shape == (1, 90, 70)
+
+
+def test_upscale_ema_branch(assets):
+    out_png = str(assets / "out_ema.png")
+    ck = str(assets / "ema" / "dcgan-sr-tpu_1_net_G.npz")
+    r = _run(["--config", "gray-3", "--ckpt", ck, "--ema",
+              "--input", str(assets / "in.png"), "--output", out_png])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.isfile(out_png)
+    # a checkpoint without the ema branch is rejected with a clear error
+    r2 = _run(["--config", "gray-3",
+               "--ckpt", str(assets / "dcgan-sr-tpu_1_net_G.npz"), "--ema",
+               "--input", str(assets / "in.png"), "--output", out_png])
+    assert r2.returncode != 0 and "no 'ema' branch" in (r2.stderr + r2.stdout)

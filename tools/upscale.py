@@ -121,6 +121,9 @@ def main(argv=None):
                          " — measured: batch-stats single-image SR loses to "
                          "bilinear on every held-out protocol image, running-"
                          "stats wins on every one (PARITY.md)")
+    ap.add_argument("--ema", action="store_true",
+                    help="use the EMA generator branch of a --ckpt trained "
+                         "with --g-ema (smoothed weights; PARITY.md)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -159,7 +162,13 @@ def main(argv=None):
             return jtu.tree_unflatten(treedef, new)[key]
 
         data = np.load(args.ckpt)
-        g_params = load_branch("params", g_params)
+        if args.ema:
+            if not any(k.startswith("_ema_") for k in data.files):
+                sys.exit("--ema needs a checkpoint trained with --g-ema "
+                         "(no 'ema' branch found)")
+            g_params = load_branch("ema", g_params)
+        else:
+            g_params = load_branch("params", g_params)
         if any(k.startswith("_state_") for k in data.files):
             g_state = load_branch("state", g_state)
         elif args.bn_eval:
