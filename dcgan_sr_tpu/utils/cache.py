@@ -40,6 +40,10 @@ def pin_cpu(jax, min_compile_secs=0.5):
     alone cannot pin the platform).
     """
     jax.config.update("jax_platforms", "cpu")
+    # silence XLA:CPU's page-long LOG(ERROR) on cache loads whose embedded
+    # feature list names XLA-internal pseudo-features (+prefer-no-*); the
+    # entries load fine (measured) — the message is noise
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     # an explicitly exported cache dir wins; otherwise per-machine default
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") \
         or machine_cpu_cache_dir()

@@ -14,6 +14,12 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# XLA:CPU prints a full-page LOG(ERROR) on every persistent-cache load whose
+# embedded feature list includes XLA-internal pseudo-features (+prefer-no-*)
+# absent from the host probe; the entry still loads (measured 12.9s -> 3.4s
+# compile) so the message is pure noise that buries real test output.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 import sys
