@@ -89,24 +89,49 @@ def _eval_batch_fn(cfg, with_ssim, gen_fn=None):
     else:
         apply_gen = gen_fn
 
+    nc = cfg.nc
+    pm1 = cfg.data_range == "pm1"
+
+    def _score(metric, ref, img):
+        # (B, H, W) single-channel protocol (the reference's, gray variants);
+        # multi-channel (B, C, H, W): per-channel metric averaged over C
+        # (the reference defines no RGB protocol — train.lua prints none)
+        if nc == 1:
+            return metric(ref, img).sum()
+        b, c = ref.shape[0], ref.shape[1]
+        flat = metric(ref.reshape(b * c, *ref.shape[2:]),
+                      img.reshape(b * c, *img.shape[2:]))
+        return flat.reshape(b, c).mean(axis=1).sum()
+
     def run(params, state, hr):
-        hr2d = hr[:, 0]
-        lr = box_downsample2(hr2d)
+        hr2d = hr[:, 0] if nc == 1 else hr          # (B,H,W) or (B,C,H,W)
+        # pm1 variants (rgb-full, gray): the generator trains on [-1,1] data
+        # (trainHook mul(2):add(-1), donkey_folder.lua:69) and the reference's
+        # eval feeds it the SAME normalized stream (train-gray.lua:325-385 —
+        # its calPSNR is even computed on the pm1 scale). We drive G in its
+        # training range, then map everything back to [0,1] for scoring so
+        # the bilinear control and the cross-variant table stay comparable.
+        net_in = hr2d * 2.0 - 1.0 if pm1 else hr2d
+        lr = box_downsample2(net_in)
         bil = resize_bilinear(lr, fine, fine)
         if patch_based:
-            tiles = extract_grid_patches(hr2d, patch)
+            tiles = extract_grid_patches(net_in, patch)
             b, p2, p, _ = tiles.shape
             lr_tiles = box_downsample2(tiles).reshape(b * p2, 1, p // 2, p // 2)
             fk = apply_gen(params, state, lr_tiles)
             fake = reassemble_grid_patches(
                 fk[:, 0].reshape(b, p2, p, p), fine, fine)
         else:
-            fk = apply_gen(params, state, lr[:, None])
-            fake = fk[:, 0]
-        out = [cal_psnr_batch(hr2d, bil).sum(), cal_psnr_batch(hr2d, fake).sum()]
+            fk = apply_gen(params, state, lr[:, None] if nc == 1 else lr)
+            fake = fk[:, 0] if nc == 1 else fk
+        if pm1:
+            bil = (bil + 1.0) * 0.5
+            fake = (fake + 1.0) * 0.5
+        out = [_score(cal_psnr_batch, hr2d, bil),
+               _score(cal_psnr_batch, hr2d, fake)]
         if with_ssim:
-            out += [cal_ssim_batch(hr2d, bil).sum(),
-                    cal_ssim_batch(hr2d, fake).sum()]
+            out += [_score(cal_ssim_batch, hr2d, bil),
+                    _score(cal_ssim_batch, hr2d, fake)]
         else:
             out += [jnp.zeros(()), jnp.zeros(())]
         return jnp.stack(out)
