@@ -1,0 +1,35 @@
+"""Range-correctness invariant of the eval harness: a 'generator' that just
+bilinear-upscales its input must score EXACTLY the bilinear control, in every
+data range and channel count. (Round-2 regression: the harness fed [0,1]
+inputs to pm1-trained generators, understating gray by 4 dB — this invariant
+fails loudly on any such range mismatch.)"""
+
+import numpy as np
+import jax
+import pytest
+
+from dcgan_sr_tpu.core import get_config
+from dcgan_sr_tpu.data.synthetic import TexturedImages
+from dcgan_sr_tpu.evaluation.harness import evaluate_slice
+from dcgan_sr_tpu.image.ops import resize_bilinear
+
+
+@pytest.mark.parametrize("variant,nc", [
+    ("gray-3", 1),      # data_range 01
+    ("gray", 1),        # pm1
+    ("rgb-full", 3),    # pm1, multi-channel
+])
+def test_bilinear_generator_scores_as_control(variant, nc):
+    cfg = get_config(variant, env_override=False, ngf=4, ndf=8)
+    src = TexturedImages(cfg.fineSize, nc=nc, seed=1234)
+
+    def bilinear_gen(params, state, lr):
+        # receives whatever the harness feeds the generator; upsampling it
+        # must reproduce the control EXACTLY if (and only if) the harness is
+        # range-consistent end to end
+        return resize_bilinear(lr, cfg.fineSize, cfg.fineSize)
+
+    r = evaluate_slice(cfg, bilinear_gen, None, None, src, [0], batch_size=8)
+    np.testing.assert_allclose(r.psnr_generator, r.psnr_bilinear, rtol=1e-6)
+    np.testing.assert_allclose(r.ssim_generator, r.ssim_bilinear, rtol=1e-6)
+    assert r.psnr_bilinear > 20.0  # sane control on textured data
