@@ -1,0 +1,41 @@
+"""The committed rgb-full fixture (last epoch, raw branch, no selection)
+beats bilinear on a held-out set — the best-scoring variant (+3.62 dB over
+the full slice, PARITY.md). Exercises the multi-channel + pm1 eval path."""
+
+import os
+
+import numpy as np
+import jax
+import jax.tree_util as jtu
+import pytest
+
+from dcgan_sr_tpu.core import get_config
+from dcgan_sr_tpu.data.synthetic import TexturedImages
+from dcgan_sr_tpu.evaluation.harness import evaluate_slice
+from dcgan_sr_tpu.train import init_train_state
+from dcgan_sr_tpu.train.checkpoint import _SAFE
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.path.join(REPO, "fixtures", "rgb_textured_net_G.npz")
+
+
+def _load_branch(data, key, tree):
+    flat, treedef = jtu.tree_flatten_with_path({key: tree})
+    new = [data["/".join(_SAFE.sub("_", str(p)) for p in path)]
+           .astype(np.float32) for path, _ in flat]
+    return jtu.tree_unflatten(treedef, new)[key]
+
+
+@pytest.mark.skipif(not os.path.isfile(FIXTURE), reason="fixture not committed")
+def test_rgb_fixture_beats_bilinear_heldout():
+    cfg = get_config("rgb-full", env_override=False)
+    data = np.load(FIXTURE)
+    template = init_train_state(cfg, jax.random.PRNGKey(0))
+    params = _load_branch(data, "params", template.g_params)
+    state = _load_branch(data, "state", template.g_state)
+
+    src = TexturedImages(cfg.fineSize, nc=3, seed=1234)
+    r = evaluate_slice(cfg, None, params, state, src, [2001], batch_size=100)
+    assert r.psnr_generator > r.psnr_bilinear + 2.0, (
+        r.psnr_generator, r.psnr_bilinear)
+    assert r.ssim_generator > r.ssim_bilinear
