@@ -42,7 +42,7 @@ def test_seam_beats_naive_beats_bilinear_heldout():
     g_state = _load_branch(data, "state", template.g_state)
 
     src = TexturedImages(cfg.fineSize, nc=1, seed=1234)
-    hr = jnp.asarray(src.load_batch(10000, 24))[:, 0]  # held-out slice
+    hr = jnp.asarray(src.load_batch(62500, 16))[:, 0]  # held-out slice
 
     out = make_overlap_sr_fn(cfg, bn_eval=True)(params, g_state, hr)
     bil = resize_bilinear(box_downsample2(hr), cfg.fineSize, cfg.fineSize)

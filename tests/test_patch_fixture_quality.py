@@ -41,7 +41,7 @@ def test_patch_fixture_beats_bilinear_heldout():
     params = _load_branch(data, "params", template.g_params)
     state = _load_branch(data, "state", template.g_state)
 
-    r = evaluate_slice(cfg, None, params, state, src, [10000], batch_size=100)
+    r = evaluate_slice(cfg, None, params, state, src, [20000], batch_size=50)
     assert r.psnr_generator > r.psnr_bilinear + 2.0, (
         r.psnr_generator, r.psnr_bilinear)
     assert r.ssim_generator > r.ssim_bilinear

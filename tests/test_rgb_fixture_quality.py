@@ -35,7 +35,7 @@ def test_rgb_fixture_beats_bilinear_heldout():
     state = _load_branch(data, "state", template.g_state)
 
     src = TexturedImages(cfg.fineSize, nc=3, seed=1234)
-    r = evaluate_slice(cfg, None, params, state, src, [2001], batch_size=100)
+    r = evaluate_slice(cfg, None, params, state, src, [4002], batch_size=50)
     assert r.psnr_generator > r.psnr_bilinear + 2.0, (
         r.psnr_generator, r.psnr_bilinear)
     assert r.ssim_generator > r.ssim_bilinear
