@@ -70,3 +70,26 @@ def test_ema_checkpoint_roundtrip(tmp_path):
         lambda a, b: float(jnp.abs(a - b).max()), st2.g_params,
         st2.g_ema_params)
     assert max(jax.tree_util.tree_leaves(d2)) > 0.0
+
+
+def test_ema_through_scan_matches_sequential():
+    """The EMA branch threads the lax.scan carry (--scan + --g-ema)."""
+    from dcgan_sr_tpu.train.multi_step import build_multi_step
+
+    cfg = get_config("gray-patch-batch", env_override=False, g_ema=0.7, **TINY)
+    batches = _batches(3)
+
+    step = jax.jit(build_train_step(cfg))
+    s_seq = init_train_state(cfg, jax.random.PRNGKey(6))
+    for hr in batches:
+        s_seq, _ = step(s_seq, hr)
+
+    s_scan = init_train_state(cfg, jax.random.PRNGKey(6))
+    s_scan, _ = jax.jit(build_multi_step(cfg))(s_scan, batches)
+
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        s_seq.g_ema_params, s_scan.g_ema_params)
+    # scan recompiles the body in a different fusion context (same tolerance
+    # as test_multi_step_equals_sequential)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
