@@ -316,7 +316,29 @@ def main(argv=None):
                              discriminator_spec(cfg))
 
     if args.do_eval:
-        if hasattr(loader, "load_batch"):
+        if not hasattr(loader, "load_batch"):
+            print("eval requires an indexed/synthetic loader")
+        elif cfg.variant == "gray-patch-batch-overlap":
+            # the overlap variant's own eval scores bilinear vs naive-stitch
+            # vs seam-stitch through the tiled pipeline
+            # (train-gray-patch-batch-overlap.lua:423-424,453-454,703-704)
+            from .evaluation import evaluate_overlap_slice
+            from .infer.tiled import make_overlap_sr_fn
+            sr = make_overlap_sr_fn(cfg)
+            evaluate_overlap_slice(
+                cfg, state.g_params, state.g_state, loader,
+                range(args.eval_sets), sr_fn=sr,
+            ).print_reference_style("Train-set")
+            evaluate_overlap_slice(
+                cfg, state.g_params, state.g_state, loader,
+                range(10000, 10000 + args.eval_sets), sr_fn=sr,
+            ).print_reference_style("Test-set")
+            if state.g_ema_params is not None:
+                evaluate_overlap_slice(
+                    cfg, state.g_ema_params, state.g_state, loader,
+                    range(10000, 10000 + args.eval_sets), sr_fn=sr,
+                ).print_reference_style("Test-set-EMA")
+        else:
             gen = make_generator_fn(cfg)
             train_res = evaluate_slice(cfg, gen, state.g_params, state.g_state,
                                        loader, range(args.eval_sets))
@@ -336,8 +358,6 @@ def main(argv=None):
                                          test_start + args.eval_sets))):
                     evaluate_slice(cfg, gen, state.g_ema_params, state.g_state,
                                    loader, sets).print_reference_style(tag)
-        else:
-            print("eval requires an indexed/synthetic loader")
 
     if args.samples_dir:
         if hasattr(loader, "load_one"):

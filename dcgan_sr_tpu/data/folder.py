@@ -79,6 +79,14 @@ class FolderDataset:
                     else:
                         self.test_paths.append(cls_paths[idx])
                         self.test_labels.append(l)
+        # Precomputed class -> paths map for the balanced sampler. The
+        # reference builds its per-class index tensors once at construction
+        # (dataset.lua:219-249); rebuilding per sample() call would be
+        # O(dataset) Python work on every batch in every loader thread.
+        self._by_class = {}
+        for p, l in zip(self.paths, self.labels):
+            self._by_class.setdefault(l, []).append(p)
+        self._class_ids = sorted(self._by_class)
 
     # ---- indexing with cache (dataset.lua class discovery + path packing) --
     @staticmethod
@@ -151,10 +159,7 @@ class FolderDataset:
     # ---- balanced sampler (dataset.lua:313-347) ----------------------------
     def sample(self, batch_size, rng=None, normalize=True):
         rng = rng or np.random.RandomState()
-        by_class = {}
-        for p, l in zip(self.paths, self.labels):
-            by_class.setdefault(l, []).append(p)
-        class_ids = sorted(by_class)
+        by_class, class_ids = self._by_class, self._class_ids
         out = np.empty((batch_size, 3, self.fine_size, self.fine_size), np.float32)
         for i in range(batch_size):
             cls = class_ids[rng.randint(len(class_ids))]

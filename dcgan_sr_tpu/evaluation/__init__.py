@@ -1,1 +1,2 @@
-from .harness import evaluate_slice, polarity_rescue, EvalResult  # noqa: F401
+from .harness import (EvalResult, OverlapEvalResult,  # noqa: F401
+                      evaluate_overlap_slice, evaluate_slice, polarity_rescue)

@@ -50,6 +50,66 @@ class EvalResult:
                f"{self.ssim_generator:.8f}, train-Size: {n}")
 
 
+@dataclasses.dataclass
+class OverlapEvalResult:
+    """Bilinear control vs naive last-writer-wins stitch vs seam-cut stitch —
+    the overlap variant's defining comparison
+    (train-gray-patch-batch-overlap.lua:423-424,453-454,703-704)."""
+    psnr_bilinear: float
+    psnr_naive: float
+    psnr_seam: float
+    ssim_bilinear: float
+    ssim_naive: float
+    ssim_seam: float
+    n_images: int
+
+    def print_reference_style(self, tag="Test-set", log_fn=print):
+        n = self.n_images
+        log_fn(f"[{tag}] PSNR btwn real_none & real_bilinear: "
+               f"{self.psnr_bilinear:.8f}, train-Size: {n}")
+        log_fn(f"[{tag}] PSNR btwn real_none & fake_none: "
+               f"{self.psnr_naive:.8f}, train-Size: {n}")
+        log_fn(f"[{tag}] PSNR btwn real_none & fake_none_overlap: "
+               f"{self.psnr_seam:.8f}, train-Size: {n}")
+        log_fn(f"[{tag}] SSIM btwn real_none & real_bilinear: "
+               f"{self.ssim_bilinear:.8f}, train-Size: {n}")
+        log_fn(f"[{tag}] SSIM btwn real_none & fake_none: "
+               f"{self.ssim_naive:.8f}, train-Size: {n}")
+        log_fn(f"[{tag}] SSIM btwn real_none & fake_none_overlap: "
+               f"{self.ssim_seam:.8f}, train-Size: {n}")
+
+
+def evaluate_overlap_slice(cfg, params, state, loader, file_sets, *,
+                           batch_size=None, bn_eval=False, sr_fn=None):
+    """Mean PSNR/SSIM of bilinear / naive-stitch / seam-stitch over the given
+    file_set indices, through the fully on-device overlap pipeline
+    (extract overlapping tiles -> batched G -> naive + seam-DP stitch,
+    infer/tiled.make_overlap_sr_fn). The overlap variant's own eval
+    (train-gray-patch-batch-overlap.lua:377-704) scores exactly these three
+    against the ground truth. Grayscale protocol (nc=1), like the reference.
+
+    `sr_fn` overrides the compiled pipeline (reuse across slices)."""
+    from ..infer.tiled import make_overlap_sr_fn
+
+    batch_size = batch_size or 100
+    sr = sr_fn if sr_fn is not None else make_overlap_sr_fn(cfg, bn_eval=bn_eval)
+    fine = cfg.fineSize
+    tot = np.zeros(6)
+    n = 0
+    for fs in file_sets:
+        hr = jnp.asarray(loader.load_batch(fs, batch_size))[:, 0]  # (B, H, W)
+        out = sr(params, state, hr)
+        bil = resize_bilinear(box_downsample2(hr), fine, fine)
+        for i, img in enumerate((bil, out["naive"], out["seam"])):
+            tot[i] += float(cal_psnr_batch(hr, img).sum())
+            tot[3 + i] += float(cal_ssim_batch(hr, img).sum())
+        n += int(hr.shape[0])
+    return OverlapEvalResult(
+        psnr_bilinear=tot[0] / n, psnr_naive=tot[1] / n, psnr_seam=tot[2] / n,
+        ssim_bilinear=tot[3] / n, ssim_naive=tot[4] / n, ssim_seam=tot[5] / n,
+        n_images=n)
+
+
 _EVAL_FN_CACHE: dict = {}
 
 

@@ -29,6 +29,26 @@ from ..models import apply_network, generator_spec
 from .seam import seam_stitch
 
 
+def overlap_pad_dim(d, patch, overlap):
+    """Smallest overlap-legal even extent >= d: (d' - overlap) must divide by
+    (patch - overlap) for the stride-overlap tiling
+    (train-gray-patch-batch-overlap.lua:387-399) and d' must be even for the
+    2x2 degrade. With q = patch - overlap even and overlap odd no even d'
+    exists (d' = overlap mod q fixes its parity) — raise rather than loop."""
+    q = patch - overlap
+    d2 = max(d, patch)
+    d2 += (q - (d2 - overlap) % q) % q
+    if d2 % 2:
+        if q % 2 == 0:
+            raise ValueError(
+                f"overlap geometry unsatisfiable: patchSize-overlap={q} is "
+                f"even while overlap={overlap} is odd, so every legal tiling "
+                "extent is odd and the 2x2 degrade cannot apply; adjust "
+                "patchSize/overlap")
+        d2 += q  # q odd: one step flips parity
+    return d2
+
+
 def make_generator_fn(cfg, jit=True, bn_eval=False):
     """Returns gen(params, state, lr_batch) -> hr_batch, (B, nc, h, w) in/out.
 

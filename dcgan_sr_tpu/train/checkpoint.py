@@ -34,6 +34,26 @@ def checkpoint_path(directory, name, epoch, net):
     return os.path.join(directory, f"{name}_{epoch}_net_{net}.npz")
 
 
+def npz_branches(data):
+    """Branch names ('params'/'state'/'opt'/'ema') present in a saved net npz.
+
+    Prefers the explicit `__branches__` manifest (written since round 3);
+    falls back to sniffing the flatten-path prefixes for older checkpoints."""
+    if "__branches__" in getattr(data, "files", ()):
+        return {str(b) for b in data["__branches__"]}
+    return {m.group(1) for k in data.files
+            if (m := re.match(r"_([A-Za-z0-9]+)_", k))}
+
+
+def load_branch(data, key, template):
+    """Restore ONE branch of a saved net npz into `template`'s tree structure
+    (float32 leaves). `data` is an open np.load handle."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path({key: template})
+    new = [np.asarray(data["/".join(_SAFE.sub("_", str(p)) for p in path)],
+                      np.float32) for path, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, new)[key]
+
+
 def save_checkpoint(directory, name, epoch, state: TrainState):
     os.makedirs(directory, exist_ok=True)
     g = {"params": state.g_params, "state": state.g_state, "opt": state.g_opt}
@@ -42,6 +62,7 @@ def save_checkpoint(directory, name, epoch, state: TrainState):
     d = {"params": state.d_params, "state": state.d_state, "opt": state.d_opt}
     for net, tree in (("G", g), ("D", d)):
         np.savez(checkpoint_path(directory, name, epoch, net),
+                 __branches__=np.array(sorted(tree)),
                  **_flatten_with_paths(tree))
     return epoch
 
@@ -53,11 +74,20 @@ def load_checkpoint(directory, name, epoch, template: TrainState) -> TrainState:
               "opt": template.g_opt}
     if template.g_ema_params is not None:
         g_tmpl["ema"] = template.g_ema_params
+    seed_ema = False
     for net, tree in (("G", g_tmpl),
                       ("D", {"params": template.d_params,
                              "state": template.d_state,
                              "opt": template.d_opt})):
         data = np.load(checkpoint_path(directory, name, epoch, net))
+        if net == "G" and "ema" in tree and "ema" not in npz_branches(data):
+            # resuming --g-ema from a checkpoint saved without the EMA
+            # branch: seed the EMA from the loaded params (the step keeps
+            # smoothing from there) instead of dying on a bare KeyError
+            print("checkpoint has no EMA branch; seeding g_ema_params from "
+                  "the loaded generator params")
+            tree = {k: v for k, v in tree.items() if k != "ema"}
+            seed_ema = True
         flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
         leaves = []
         for path, leaf in flat:
@@ -68,10 +98,13 @@ def load_checkpoint(directory, name, epoch, template: TrainState) -> TrainState:
                                  f"{arr.shape} vs {np.shape(leaf)}")
             leaves.append(arr.astype(np.asarray(leaf).dtype))
         new[net] = jax.tree_util.tree_unflatten(treedef, leaves)
+    ema = new["G"].get("ema")
+    if ema is None and seed_ema:
+        ema = jax.tree_util.tree_map(np.copy, new["G"]["params"])
     return TrainState(
         g_params=new["G"]["params"], g_state=new["G"]["state"], g_opt=new["G"]["opt"],
         d_params=new["D"]["params"], d_state=new["D"]["state"], d_opt=new["D"]["opt"],
-        g_ema_params=new["G"].get("ema"),
+        g_ema_params=ema,
     )
 
 

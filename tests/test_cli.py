@@ -103,3 +103,16 @@ def test_cli_scan_runner(tmp_path):
     recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
     # chunk ends at steps 2, 4 and the tail step 5 -> 3 metric records
     assert len(recs) == 3 and all("errG" in r for r in recs)
+
+
+def test_cli_overlap_eval_protocol(tmp_path):
+    """--eval on the overlap config runs the tiled pipeline and prints the
+    bilinear / naive / seam comparison (overlap:423-424,453-454,703-704)."""
+    out = _run(["--config", "gray-patch-batch-overlap", "--textured",
+                "--steps", "1", "--epochs", "1", "--eval", "--eval-sets", "1"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    for tag in ("Train-set", "Test-set"):
+        assert f"[{tag}] PSNR btwn real_none & real_bilinear" in out.stdout
+        assert f"[{tag}] PSNR btwn real_none & fake_none:" in out.stdout
+        assert f"[{tag}] PSNR btwn real_none & fake_none_overlap" in out.stdout
+        assert f"[{tag}] SSIM btwn real_none & fake_none_overlap" in out.stdout

@@ -72,6 +72,39 @@ def test_ema_checkpoint_roundtrip(tmp_path):
     assert max(jax.tree_util.tree_leaves(d2)) > 0.0
 
 
+def test_resume_ema_from_non_ema_checkpoint(tmp_path):
+    """Resuming --g-ema from a checkpoint saved WITHOUT the EMA branch seeds
+    g_ema_params from the loaded generator params instead of KeyError-ing
+    (ADVICE r2); checkpoints carry an explicit __branches__ manifest."""
+    from dcgan_sr_tpu.train.checkpoint import (checkpoint_path, load_branch,
+                                               npz_branches)
+
+    cfg = get_config("gray-patch-batch", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(5))
+    step = jax.jit(build_train_step(cfg))
+    for hr in _batches(2):
+        st, _ = step(st, hr)
+    save_checkpoint(str(tmp_path), cfg.name, 1, st)
+
+    data = np.load(checkpoint_path(str(tmp_path), cfg.name, 1, "G"))
+    assert npz_branches(data) == {"params", "state", "opt"}
+    # the promoted load_branch restores a single branch tool-style
+    p = load_branch(data, "params", st.g_params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).max()), p, st.g_params)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+    cfg_ema = get_config("gray-patch-batch", env_override=False, g_ema=0.9,
+                         **TINY)
+    template = init_train_state(cfg_ema, jax.random.PRNGKey(6))
+    st2 = load_checkpoint(str(tmp_path), cfg_ema.name, 1, template)
+    assert st2.g_ema_params is not None
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        st2.g_ema_params, st.g_params)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
 def test_ema_through_scan_matches_sequential():
     """The EMA branch threads the lax.scan carry (--scan + --g-ema)."""
     from dcgan_sr_tpu.train.multi_step import build_multi_step

@@ -6,24 +6,20 @@ import os
 
 import numpy as np
 import jax
-import jax.tree_util as jtu
 import pytest
 
 from dcgan_sr_tpu.core import get_config
 from dcgan_sr_tpu.data.synthetic import TexturedImages
 from dcgan_sr_tpu.evaluation.harness import evaluate_slice
 from dcgan_sr_tpu.train import init_train_state
-from dcgan_sr_tpu.train.checkpoint import _SAFE
+from dcgan_sr_tpu.train.checkpoint import load_branch as _load_branch_impl
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE = os.path.join(REPO, "fixtures", "rgb_textured_net_G.npz")
 
 
 def _load_branch(data, key, tree):
-    flat, treedef = jtu.tree_flatten_with_path({key: tree})
-    new = [data["/".join(_SAFE.sub("_", str(p)) for p in path)]
-           .astype(np.float32) for path, _ in flat]
-    return jtu.tree_unflatten(treedef, new)[key]
+    return _load_branch_impl(data, key, tree)
 
 
 @pytest.mark.skipif(not os.path.isfile(FIXTURE), reason="fixture not committed")

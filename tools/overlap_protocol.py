@@ -42,52 +42,33 @@ def main():
     if args.cpu:
         from dcgan_sr_tpu.utils.cache import pin_cpu
         pin_cpu(jax)
-    import jax.numpy as jnp
     import numpy as np
 
     from dcgan_sr_tpu.core import get_config
     from dcgan_sr_tpu.data.synthetic import TexturedImages
-    from dcgan_sr_tpu.image.ops import box_downsample2, resize_bilinear
-    from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
-    from dcgan_sr_tpu.metrics import cal_psnr_batch, cal_ssim_batch
+    from dcgan_sr_tpu.evaluation import evaluate_overlap_slice
     from dcgan_sr_tpu.train import init_train_state
-    from dcgan_sr_tpu.train.checkpoint import _SAFE
+    from dcgan_sr_tpu.train.checkpoint import load_branch
 
     cfg = get_config(args.config,
                      **({"g_ema": 0.999} if args.ema else {}))
     template = init_train_state(cfg, jax.random.PRNGKey(0))
 
-    import jax.tree_util as jtu
     data = np.load(args.ckpt)
-
-    def load_branch(key, tree):
-        flat, treedef = jtu.tree_flatten_with_path({key: tree})
-        new = [data["/".join(_SAFE.sub("_", str(p)) for p in path)]
-               .astype(np.float32) for path, _ in flat]
-        return jtu.tree_unflatten(treedef, new)[key]
-
-    params = load_branch("ema" if args.ema else "params",
+    params = load_branch(data, "ema" if args.ema else "params",
                          template.g_params)
-    g_state = load_branch("state", template.g_state)
-
-    sr = make_overlap_sr_fn(cfg, bn_eval=args.bn_eval)
+    g_state = load_branch(data, "state", template.g_state)
 
     src = TexturedImages(cfg.fineSize, nc=1, seed=1234)
     a, b = (int(x) for x in args.sets.split(":"))
-    tot = np.zeros(6)
-    n = 0
-    for fs in range(a, b):
-        hr = jnp.asarray(src.load_batch(fs, 100))[:, 0]       # (B, H, W)
-        out = sr(params, g_state, hr)
-        bil = resize_bilinear(box_downsample2(hr), cfg.fineSize, cfg.fineSize)
-        for i, img in enumerate((bil, out["naive"], out["seam"])):
-            tot[2 * i] += float(cal_psnr_batch(hr, img).sum())
-            tot[2 * i + 1] += float(cal_ssim_batch(hr, img).sum())
-        n += hr.shape[0]
-        print(f"file_set {fs} done ({n} imgs)", flush=True)
-
-    for name, i in (("bilinear", 0), ("naive-stitch", 1), ("seam-stitch", 2)):
-        print(f"{name:13s} PSNR {tot[2*i]/n:.5f}  SSIM {tot[2*i+1]/n:.6f}")
+    res = evaluate_overlap_slice(cfg, params, g_state, src, range(a, b),
+                                 bn_eval=args.bn_eval)
+    for name, psnr, ssim in (
+            ("bilinear", res.psnr_bilinear, res.ssim_bilinear),
+            ("naive-stitch", res.psnr_naive, res.ssim_naive),
+            ("seam-stitch", res.psnr_seam, res.ssim_seam)):
+        print(f"{name:13s} PSNR {psnr:.5f}  SSIM {ssim:.6f}")
+    print(f"({res.n_images} images)")
 
 
 if __name__ == "__main__":

@@ -38,7 +38,7 @@ def batch_upscale(args, cfg, g_params, g_state):
 
     from dcgan_sr_tpu.image.io import load_image, save_image
     from dcgan_sr_tpu.image.ops import box_downsample2, resize_bilinear, to_display
-    from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
+    from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn, overlap_pad_dim
     from dcgan_sr_tpu.metrics import cal_psnr
 
     if cfg.nc != 1:
@@ -54,11 +54,7 @@ def batch_upscale(args, cfg, g_params, g_state):
     q = p - ov
 
     def pad_dim(d):
-        d2 = max(d, p)
-        d2 += (q - (d2 - ov) % q) % q
-        while d2 % 2:
-            d2 += q
-        return d2
+        return overlap_pad_dim(d, p, ov)
 
     Hp = pad_dim(max(h for h, _ in sizes))
     Wp = pad_dim(max(w for _, w in sizes))
@@ -152,25 +148,19 @@ def main(argv=None):
             args.t7, generator_spec(cfg), g_params, g_state)
         print(f"loaded Torch checkpoint {args.t7}")
     elif args.ckpt:
-        import jax.tree_util as jtu
-        from dcgan_sr_tpu.train.checkpoint import _SAFE
-
-        def load_branch(key, tree):
-            flat, treedef = jtu.tree_flatten_with_path({key: tree})
-            new = [data["/".join(_SAFE.sub("_", str(p)) for p in path)]
-                   .astype(np.float32) for path, _ in flat]
-            return jtu.tree_unflatten(treedef, new)[key]
+        from dcgan_sr_tpu.train.checkpoint import load_branch, npz_branches
 
         data = np.load(args.ckpt)
+        branches = npz_branches(data)
         if args.ema:
-            if not any(k.startswith("_ema_") for k in data.files):
+            if "ema" not in branches:
                 sys.exit("--ema needs a checkpoint trained with --g-ema "
                          "(no 'ema' branch found)")
-            g_params = load_branch("ema", g_params)
+            g_params = load_branch(data, "ema", g_params)
         else:
-            g_params = load_branch("params", g_params)
-        if any(k.startswith("_state_") for k in data.files):
-            g_state = load_branch("state", g_state)
+            g_params = load_branch(data, "params", g_params)
+        if "state" in branches:
+            g_state = load_branch(data, "state", g_state)
         elif args.bn_eval:
             sys.exit("--bn-eval needs BN running stats, but this checkpoint "
                      "has no 'state' branch")
@@ -203,12 +193,8 @@ def main(argv=None):
             q = p if p % 2 == 0 else 2 * p   # patch grid + even (degrade)
             return max(-(-d // q) * q, p)
         if mode == "overlap":
-            q = p - ov                        # (d - ov) % (p - ov) == 0
-            d2 = max(d, p)
-            d2 += (q - (d2 - ov) % q) % q
-            while d2 % 2:                     # degrade needs even dims
-                d2 += q
-            return d2
+            from dcgan_sr_tpu.infer.tiled import overlap_pad_dim
+            return overlap_pad_dim(d, p, ov)
         return d + (d % 2)                    # full-conv G: even dims
 
     Hp, Wp = pad_to(H), pad_to(W)

@@ -82,6 +82,9 @@ def main(argv=None):
     fs = cfg.fineSize
 
     img = load_image(args.input, nc=cfg.nc)          # (nc, H, W) in [0, 1]
+    pm1 = cfg.data_range == "pm1"                    # Tanh-head configs train
+    # on [-1,1] (donkey hook mul(2):add(-1)); crops and eval inputs must be
+    # mapped into that range or the generator is evaluated out-of-domain
     H, W = img.shape[-2], img.shape[-1]
     split = int(H * (1.0 - args.holdout))
     assert split >= fs and W >= fs, (H, W, fs)
@@ -102,26 +105,29 @@ def main(argv=None):
             if rng.rand() < 0.5:
                 c = c[..., ::-1]
             out[i] = c
-        return out
+        return out * 2.0 - 1.0 if pm1 else out
 
     state = init_train_state(cfg, jax.random.PRNGKey(args.seed))
     mstep = jit_multi_step(cfg)
-    n_dispatch = max(args.steps // args.scan, 1)
+    n_dispatch = max(-(-args.steps // args.scan), 1)  # ceil: run AT LEAST
+    total_steps = n_dispatch * args.scan              # args.steps, report actual
+    if total_steps != args.steps:
+        print(f"rounding {args.steps} steps up to {total_steps} "
+              f"({n_dispatch} dispatches of --scan {args.scan})")
     t0 = time.time()
     for d in range(n_dispatch):
         sb = jnp.asarray(sample_crops(args.scan * args.batch).reshape(
             args.scan, args.batch, cfg.nc, fs, fs))
         state, m = mstep(state, sb)
         if d % 10 == 0 or d == n_dispatch - 1:
-            print(f"step {min((d + 1) * args.scan, args.steps)}/{args.steps}"
+            print(f"step {(d + 1) * args.scan}/{total_steps}"
                   f"  Err_G {float(m['errG'][-1]):.4f}"
                   f"  Err_D {float(m['errD'][-1]):.4f}"
                   f"  ({time.time() - t0:.1f}s)", flush=True)
 
     if args.ckpt_out:
         from dcgan_sr_tpu.train.checkpoint import save_checkpoint
-        save_checkpoint(args.ckpt_out, cfg.name, n_dispatch * args.scan,
-                        state)
+        save_checkpoint(args.ckpt_out, cfg.name, total_steps, state)
         print(f"saved checkpoint to {args.ckpt_out}")
 
     # ---- held-out eval: G vs bilinear on the unseen region -----------------
@@ -133,14 +139,17 @@ def main(argv=None):
     res = {
         "psnr_bilinear": float(cal_psnr(hw, bil)),
         "ssim_bilinear": float(cal_ssim(hw, bil)),
-        "steps": args.steps, "holdout_hw": list(test_region.shape[-2:]),
+        "steps": total_steps, "holdout_hw": list(test_region.shape[-2:]),
         "train_time_s": round(time.time() - t0, 1),
     }
     fake = None
+    hw_in = hw * 2.0 - 1.0 if pm1 else hw
     for tag, bn_eval in (("batchstats", False), ("runstats", True)):
         gen = make_generator_fn(cfg, bn_eval=bn_eval)
-        fake, _ = sr_full_image(cfg, gen, state.g_params, state.g_state, hw)
+        fake, _ = sr_full_image(cfg, gen, state.g_params, state.g_state, hw_in)
         fake = np.asarray(fake)
+        if pm1:
+            fake = (fake + 1.0) * 0.5  # back to [0,1] for the PSNR yardstick
         res[f"psnr_generator_{tag}"] = float(cal_psnr(hw, fake))
         res[f"ssim_generator_{tag}"] = float(cal_ssim(hw, fake))
     if args.sr_out:
