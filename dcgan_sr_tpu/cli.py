@@ -55,22 +55,36 @@ def build_data(cfg, args):
             ds = FolderDataset(root, cfg.loadSize, cfg.fineSize, cfg.nc,
                                verbose=True)
             dev_pre = cfg.device_preprocess
+            dev_aug = cfg.device_augment
+            if dev_aug:
+                # raw loadSize canvases; crop/hflip happen in the train step
+                sample = lambda rng: ds.sample_canvas(cfg.batchSize, rng)
+            else:
+                sample = lambda rng: ds.sample(cfg.batchSize, rng,
+                                               normalize=not dev_pre)
             loader = PrefetchLoader(
-                lambda rng: ds.sample(cfg.batchSize, rng,
-                                      normalize=not dev_pre),
-                n_threads=cfg.nThreads, manual_seed=cfg.manualSeed or 0)
+                sample, n_threads=cfg.nThreads,
+                manual_seed=cfg.manualSeed or 0)
 
             def batch_fn(epoch, i):
                 rgb = _per_host(loader.get_batch())  # (B, 3, H, W)
-                if dev_pre:
-                    # raw [0,1] RGB: the fused Pallas preprocess inside the
-                    # train step handles gray-convert + normalize + degrade
+                if dev_pre or dev_aug:
+                    # raw [0,1] RGB: crop/hflip (device_augment) and gray-
+                    # convert + normalize + degrade (device_preprocess) run
+                    # fused inside the train step
                     return rgb
                 if cfg.nc == 1:
                     return np.asarray(rgb2gray(rgb))[:, None]
                 return rgb
             return loader, batch_fn
         print(f"DATA_ROOT {root} not found; falling back to synthetic data")
+    if cfg.device_augment or cfg.device_preprocess:
+        # these knobs expect the folder path's raw-RGB feed; the indexed/
+        # synthetic sources pre-normalize on the host
+        print("device_augment/device_preprocess need the folder data path; "
+              "disabled for this run")
+        cfg.device_augment = False
+        cfg.device_preprocess = False
 
     # indexed / synthetic path (sequential file order like train-gray-3)
     if getattr(args, "textured", False):
@@ -193,6 +207,11 @@ def main(argv=None):
     ap.add_argument("--device-preprocess", action="store_true",
                     help="feed raw [0,1] images; grayscale-convert/normalize/"
                          "degrade run fused on device (folder variants)")
+    ap.add_argument("--device-augment", action="store_true",
+                    help="feed raw loadSize canvases; the donkey hook's "
+                         "random crop + hflip ALSO run on device in the "
+                         "train step (implies --device-preprocess; folder "
+                         "variants)")
     ap.add_argument("--compact-params", action="store_true",
                     help="2-D master-weight layout: Adam's elementwise "
                          "passes run on exactly-tiled tensors (ops/compact.py)")
@@ -240,6 +259,9 @@ def main(argv=None):
     if args.g_ema is not None:
         overrides["g_ema"] = args.g_ema
     if args.device_preprocess:
+        overrides["device_preprocess"] = True
+    if args.device_augment:
+        overrides["device_augment"] = True
         overrides["device_preprocess"] = True
     if args.compact_params:
         overrides["compact_params"] = True

@@ -87,6 +87,12 @@ class Config:
     # device in one fused pass — the donkey hook's post-decode work moved
     # on-chip (north star; donkey_folder.lua:52-70)
     device_preprocess: bool = False
+    # device_augment: the train step receives raw loadSize canvases and runs
+    # the donkey trainHook's random crop + hflip ON DEVICE (image/ops.py
+    # random_crop_hflip) before the fused preprocess; the per-step PRNG key
+    # derives from manualSeed and the Adam step counter (and the DP axis
+    # index under shard_map), so scan/DP signatures are unchanged
+    device_augment: bool = False
     # compact_params: store master weights (and Adam moments) as 2-D
     # (dim0, rest) matrices so the optimizer's elementwise passes run on
     # exactly-tiled tensors instead of ~64x-padded 4-D conv layouts

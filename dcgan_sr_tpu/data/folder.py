@@ -167,6 +167,27 @@ class FolderDataset:
             out[i] = self.train_hook(path, rng, normalize=normalize)
         return out
 
+    def sample_canvas(self, batch_size, rng=None):
+        """Raw [0,1] (B, 3, loadSize, loadSize) canvases for device-side
+        augmentation (cfg.device_augment): aspect resize so the short side
+        equals loadSize, then a random crop of the long dim to loadSize
+        (same offset scheme as the trainHook). The fineSize random crop +
+        hflip + normalize run ON DEVICE inside the train step
+        (image/ops.random_crop_hflip + the fused preprocess)."""
+        rng = rng or np.random.RandomState()
+        by_class, class_ids = self._by_class, self._class_ids
+        ls = self.load_size
+        out = np.empty((batch_size, 3, ls, ls), np.float32)
+        for i in range(batch_size):
+            cls = class_ids[rng.randint(len(class_ids))]
+            path = by_class[cls][rng.randint(len(by_class[cls]))]
+            img = self._load_resized(path)
+            h, w = img.shape[-2], img.shape[-1]
+            h1 = crop_start(rng, h, ls)
+            w1 = crop_start(rng, w, ls)
+            out[i] = img[:, h1:h1 + ls, w1:w1 + ls]
+        return out
+
     def get(self, i1, i2, rng=None):
         """Sequential slice (dataset.lua:349-365), 1-based inclusive like Lua."""
         rng = rng or np.random.RandomState(0)

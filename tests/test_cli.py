@@ -12,14 +12,14 @@ pytestmark = pytest.mark.slow  # subprocess tier: run with --runslow
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, env_extra=None, timeout=420):
+def _run(args, env_extra=None, timeout=420, synthetic=True):
     env = dict(os.environ)
     # JAX_COMPILATION_CACHE_DIR is inherited from conftest (per-machine CPU dir)
     env.update({"ngf": "4", "ndf": "8", "batchSize": "4", "ntrain": "8"})
     env.update(env_extra or {})
     return subprocess.run(
-        [sys.executable, os.path.join(REPO, "train.py"), "--cpu",
-         "--synthetic"] + args,
+        [sys.executable, os.path.join(REPO, "train.py"), "--cpu"]
+        + (["--synthetic"] if synthetic else []) + args,
         capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env)
 
 
@@ -57,7 +57,7 @@ def test_cli_gray_folder_variant(tmp_path):
                    rng.rand(3, 120, 100).astype(np.float32))
     out = _run(["--config", "gray", "--steps", "1", "--epochs", "1",
                 "--data-root", str(root)],
-               env_extra={"nThreads": "2"})
+               env_extra={"nThreads": "2"}, synthetic=False)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Epoch: [1][" in out.stdout
 
@@ -116,3 +116,22 @@ def test_cli_overlap_eval_protocol(tmp_path):
         assert f"[{tag}] PSNR btwn real_none & fake_none:" in out.stdout
         assert f"[{tag}] PSNR btwn real_none & fake_none_overlap" in out.stdout
         assert f"[{tag}] SSIM btwn real_none & fake_none_overlap" in out.stdout
+
+
+def test_cli_device_augment_folder(tmp_path):
+    """--device-augment feeds raw loadSize canvases; crop/hflip + preprocess
+    run inside the train step (north-star on-chip donkey, L3 row)."""
+    import numpy as np
+    from dcgan_sr_tpu.image.io import save_image
+    rng = np.random.RandomState(1)
+    root = tmp_path / "celeba"
+    (root / "faces").mkdir(parents=True)
+    for i in range(6):
+        save_image(str(root / "faces" / f"{i}.png"),
+                   rng.rand(3, 120, 100).astype(np.float32))
+    out = _run(["--config", "gray", "--steps", "2", "--epochs", "1",
+                "--device-augment", "--data-root", str(root)],
+               env_extra={"nThreads": "2"}, synthetic=False)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Epoch: [1][" in out.stdout
+    assert "disabled for this run" not in out.stdout
