@@ -114,11 +114,15 @@ def _top_composites(tiles, line, patch, overlap):
     return jnp.where(take_prev, prev_full, tiles)
 
 
-def seam_stitch_device(tiles, fine, patch, overlap):
+def seam_stitch_device(tiles, fine, patch, overlap, *, both_seams=False):
     """JIT-able seam stitch of (Lh*Lw, patch, patch) tiles -> `fine` canvas.
 
     `fine` is an int (square, the reference case) or (H, W).  Matches
-    infer.seam.seam_stitch committed-behavior mode exactly.
+    infer.seam.seam_stitch exactly in BOTH modes: committed behavior
+    (both_seams=False — interior patches take the left composite over their
+    whole footprint) and intent mode (both_seams=True — interior patches
+    take the left composite in the left overlap band, the top composite
+    elsewhere; the evident intent of overlap:625-692).
     """
     from ..image.patches import _ownership, _overlap_lines
 
@@ -131,11 +135,20 @@ def seam_stitch_device(tiles, fine, patch, overlap):
 
     xi = jnp.arange(n) // lw
     yi = jnp.arange(n) % lw
-    # committed selection: (0,0) raw; row 0 -> left; col 0 -> top;
-    # interior -> left (the left composite overwrites the top one)
-    use_left = yi > 0
-    comp = jnp.where(use_left[:, None, None], left,
-                     jnp.where((xi > 0)[:, None, None], top, tiles))
+    if both_seams:
+        # interior: left seam owns columns [0, overlap), top seam the rest
+        band = (jnp.arange(patch) < overlap)[None, None, :]
+        interior = jnp.where(band, left, top)
+        comp = jnp.where(((xi > 0) & (yi > 0))[:, None, None], interior,
+                         jnp.where((yi > 0)[:, None, None], left,
+                                   jnp.where((xi > 0)[:, None, None], top,
+                                             tiles)))
+    else:
+        # committed selection: (0,0) raw; row 0 -> left; col 0 -> top;
+        # interior -> left (the left composite overwrites the top one)
+        use_left = yi > 0
+        comp = jnp.where(use_left[:, None, None], left,
+                         jnp.where((xi > 0)[:, None, None], top, tiles))
 
     # ownership gather (same last-writer map as the naive stitch)
     pi, off_r, off_c = _ownership(fine, patch, overlap)

@@ -96,10 +96,10 @@ def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
     """Overlap-tile SR: returns dict with naive and seam-stitched outputs.
 
     device_seam=True runs the batched lax.scan seam DP on device
-    (infer/seam_device.py, bit-identical); False uses the host NumPy replay.
-    both_seams (intent mode) is host-only.  Runs at the image's native
-    (H, W): each dim must satisfy (dim - overlap) % (patch - overlap) == 0
-    (the upscale tool pads-and-crops to guarantee this).
+    (infer/seam_device.py, bit-identical in both modes); False uses the host
+    NumPy replay.  Runs at the image's native (H, W): each dim must satisfy
+    (dim - overlap) % (patch - overlap) == 0 (the upscale tool pads-and-crops
+    to guarantee this).
     """
     patch, ov = cfg.patchSize, cfg.overlap
     img_hw = jnp.asarray(img_hw)
@@ -108,9 +108,10 @@ def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
     lr_tiles = box_downsample2(hr_tiles)
     fake_tiles = gen_fn(params, state, lr_tiles[:, None])[:, 0]
     naive = stitch_overlap_naive(fake_tiles, fine, patch, ov)
-    if device_seam and not both_seams:
+    if device_seam:
         from .seam_device import seam_stitch_device
-        seam = seam_stitch_device(fake_tiles, fine, patch, ov)
+        seam = seam_stitch_device(fake_tiles, fine, patch, ov,
+                                  both_seams=both_seams)
     else:
         seam = jnp.asarray(seam_stitch(np.asarray(fake_tiles), fine, patch, ov,
                                        both_seams=both_seams))
@@ -118,7 +119,7 @@ def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
 
 
 def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
-                       bn_eval=False):
+                       bn_eval=False, both_seams=False):
     """One jitted program: batched overlap SR of (N, H, W) images ->
     dict of stacked naive and seam-stitched outputs.  The whole pipeline —
     tile extraction, per-tile box downsample, the batched generator over
@@ -152,7 +153,8 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
                                 compute_dtype=compute_dtype)
         fake = fake[:, 0]
         return (stitch_overlap_naive(fake, fine, patch, ov),
-                seam_stitch_device(fake, fine, patch, ov))
+                seam_stitch_device(fake, fine, patch, ov,
+                                   both_seams=both_seams))
 
     def run(params, state, images):
         naive, seam = jax.vmap(one_image, in_axes=(None, None, 0))(

@@ -72,7 +72,8 @@ def batch_upscale(args, cfg, g_params, g_state):
             reps = np.concatenate([batch] * (1 + pad_n // n))
             batch = np.concatenate([batch, reps[:pad_n]])
     fn = make_overlap_sr_fn(cfg, mesh=mesh, fine=(Hp, Wp),
-                            bn_eval=args.bn_eval)
+                            bn_eval=args.bn_eval,
+                            both_seams=args.both_seams)
     t0 = time.perf_counter()
     out = fn(g_params, g_state, jnp.asarray(batch))
     seam = np.asarray(out["seam"])[:n]
@@ -117,6 +118,10 @@ def main(argv=None):
                          " — measured: batch-stats single-image SR loses to "
                          "bilinear on every held-out protocol image, running-"
                          "stats wins on every one (PARITY.md)")
+    ap.add_argument("--both-seams", action="store_true",
+                    help="overlap mode: intent-mode stitching (interior "
+                         "patches keep the top seam outside the left band) "
+                         "instead of the committed reference behavior")
     ap.add_argument("--ema", action="store_true",
                     help="use the EMA generator branch of a --ckpt trained "
                          "with --g-ema (smoothed weights; PARITY.md)")
@@ -208,7 +213,8 @@ def main(argv=None):
         print(f"padded {H}x{W} -> {Hp}x{Wp} for {mode} tiling")
 
     if mode == "overlap":
-        res = sr_overlap_image(cfg, gen, g_params, g_state, hw_np)
+        res = sr_overlap_image(cfg, gen, g_params, g_state, hw_np,
+                               both_seams=args.both_seams)
         fake = res["seam"]
     elif mode == "grid":
         fake = sr_grid_patches(cfg, gen, g_params, g_state, hw_np)
