@@ -22,13 +22,21 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
 
 
 def machine_cpu_cache_dir(root=_REPO):
-    """Compile-cache dir keyed by this host's CPU feature flags."""
+    """Compile-cache dir keyed by this host's CPU identity.
+
+    Hashing only the cpuinfo `flags` line is not discriminating enough:
+    XLA:CPU also embeds pseudo-features (+prefer-no-scatter/-gather) chosen
+    from the CPU *model*, so two hosts with identical flag lines can still
+    reject each other's AOT entries (seen in round 3: every load failed the
+    feature check and forced a full recompile). Key on the whole first
+    processor block — model name, family, stepping AND flags.
+    """
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
+            block = f.read().split("\n\n", 1)[0]
     except OSError:
-        flags = ""
-    tag = hashlib.sha1((platform.machine() + flags).encode()).hexdigest()[:10]
+        block = platform.processor()
+    tag = hashlib.sha1((platform.machine() + block).encode()).hexdigest()[:10]
     return os.path.join(root, ".jax_cache_cpu_" + tag)
 
 
