@@ -326,7 +326,8 @@ def main(argv=None):
                                 prepare_batch=prepare, logger=logger,
                                 log_every=args.log_every,
                                 scan_steps=args.scan,
-                                multi_step_fn=multi_step_fn)
+                                multi_step_fn=multi_step_fn,
+                                start_epoch=start_epoch)
     if logger is not None:
         logger.close()
 

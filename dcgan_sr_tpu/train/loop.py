@@ -20,7 +20,7 @@ from .step import TrainState, build_train_step
 def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
                  steps_per_epoch=None, log_fn=None, checkpoint_dir=None,
                  prepare_batch=None, logger: MetricsLogger = None, log_every=1,
-                 scan_steps=1, multi_step_fn=None):
+                 scan_steps=1, multi_step_fn=None, start_epoch=0):
     """Run the training loop.
 
     batch_fn(epoch, step_index) -> (B, C, H, W) HR batch (numpy or jax array)
@@ -37,6 +37,9 @@ def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
     (multi_step_fn, default train.multi_step.jit_multi_step) — one dispatch
     per K steps; the epoch's remainder steps run through step_fn. Epoch math
     is unchanged (scan body == the single-step program; tested equivalent).
+    start_epoch: resume offset — epochs run start_epoch+1 .. niter and
+    checkpoints keep their continued numbering instead of restarting at 1
+    (the reference has no resume; this is the rebuild's resume contract).
     """
     if step_fn is None:
         step_fn = jax.jit(build_train_step(cfg), donate_argnums=(0,))
@@ -54,7 +57,7 @@ def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
     tm, data_tm, epoch_tm = Timer(), Timer(), Timer()
     metrics_last = None
     try:
-        for epoch in range(1, niter + 1):
+        for epoch in range(start_epoch + 1, niter + 1):
             epoch_tm.reset()
             i = 0
             while i < steps_per_epoch:

@@ -39,10 +39,17 @@ def test_cli_checkpoint_resume(tmp_path):
     out1 = _run(["--config", "gray-3", "--steps", "1", "--epochs", "1",
                  "--checkpoint-dir", ck])
     assert out1.returncode == 0, out1.stderr[-2000:]
-    out2 = _run(["--config", "gray-3", "--steps", "1", "--epochs", "1",
+    out2 = _run(["--config", "gray-3", "--steps", "1", "--epochs", "2",
                  "--checkpoint-dir", ck, "--resume"])
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "resumed from epoch 1" in out2.stdout
+    # Continued numbering: the resumed run trains ONLY epoch 2 and must not
+    # renumber from 1 (which would clobber the first run's checkpoints).
+    assert "End of epoch 2 / 2" in out2.stdout
+    assert "End of epoch 1 / 2" not in out2.stdout
+    names = os.listdir(ck)
+    assert any("_1_net_G" in n for n in names)
+    assert any("_2_net_G" in n for n in names)
 
 
 def test_cli_gray_folder_variant(tmp_path):
