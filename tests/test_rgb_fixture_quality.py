@@ -1,6 +1,7 @@
-"""The committed rgb-full fixture (last epoch, raw branch, no selection)
-beats bilinear on a held-out set — the best-scoring variant (+3.62 dB over
-the full slice, PARITY.md). Exercises the multi-channel + pm1 eval path."""
+"""The committed rgb-full fixture (effective epoch 210, raw branch, last
+epoch of a strictly-monotone run — no selection) beats bilinear on a held-out
+set — the best-scoring variant (+5.23 dB over the full slice, PARITY.md).
+Exercises the multi-channel + pm1 eval path."""
 
 import os
 
@@ -32,6 +33,6 @@ def test_rgb_fixture_beats_bilinear_heldout():
 
     src = TexturedImages(cfg.fineSize, nc=3, seed=1234)
     r = evaluate_slice(cfg, None, params, state, src, [4002], batch_size=50)
-    assert r.psnr_generator > r.psnr_bilinear + 2.0, (
+    assert r.psnr_generator > r.psnr_bilinear + 3.5, (
         r.psnr_generator, r.psnr_bilinear)
     assert r.ssim_generator > r.ssim_bilinear
