@@ -1,6 +1,7 @@
-"""The committed gray-2 fixture (last epoch, NO selection) beats bilinear on
-a held-out set — the 3x-nearest-upsample G variant's recorded quality claim
-(PARITY.md: +1.63 dB over the full 2,100-image slice)."""
+"""The committed gray-2 fixture (epoch 249 of the extended 250-epoch run,
+train-slice selected) beats bilinear on a held-out set — the
+3x-nearest-upsample G variant's recorded quality claim (PARITY.md: +2.53 dB
+over the full 2,100-image slice)."""
 
 import os
 
@@ -32,5 +33,5 @@ def test_gray2_fixture_beats_bilinear_heldout():
 
     src = TexturedImages(cfg.fineSize, nc=1, seed=1234)
     r = evaluate_slice(cfg, None, params, state, src, [2001], batch_size=100)
-    assert r.psnr_generator > r.psnr_bilinear + 0.5, (
+    assert r.psnr_generator > r.psnr_bilinear + 1.5, (
         r.psnr_generator, r.psnr_bilinear)
