@@ -111,3 +111,32 @@ def test_dp_multi_step_matches_single_device():
         s_dp.g_params)
     # two Adam sign-steps of lr=2e-4 bound fp32 reassociation noise
     assert max(jax.tree_util.tree_leaves(diffs)) < 2 * 2e-4
+
+
+def test_train_epochs_start_epoch_resume(tmp_path):
+    """start_epoch resume contract: only epochs start+1..niter run, with
+    CONTINUED checkpoint numbering (a resumed run must never renumber from 1
+    and clobber the prior run's checkpoints)."""
+    from dcgan_sr_tpu.train import train_epochs
+    from dcgan_sr_tpu.train.checkpoint import latest_epoch
+
+    cfg = get_config("gray-patch-batch", env_override=False, **TINY)
+    rng = np.random.RandomState(11)
+    batch_fn = lambda e, i: rng.rand(16, 1, 8, 8).astype(np.float32)
+    seen = []
+
+    def log(line):
+        seen.append(line)
+
+    state = init_train_state(cfg, jax.random.PRNGKey(2))
+    state, _ = train_epochs(cfg, state, batch_fn, niter=3, steps_per_epoch=1,
+                            log_fn=log, checkpoint_dir=str(tmp_path),
+                            start_epoch=1)
+    text = "".join(seen)
+    assert "Epoch: [2][" in text and "Epoch: [3][" in text
+    assert "Epoch: [1][" not in text
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert any("_2_net_G" in n for n in names)
+    assert any("_3_net_G" in n for n in names)
+    assert not any("_1_net_G" in n for n in names)
+    assert latest_epoch(str(tmp_path), cfg.name) == 3
