@@ -146,21 +146,7 @@ def measure_overlap_inference():
     bench_infer.py's measurement in-process — same tunnel client, no second
     jax client (CLAUDE.md tunnel discipline)."""
     import bench_infer
-    data = {}
-    if os.path.isfile(BASELINE_FILE):
-        with open(BASELINE_FILE) as f:
-            data = json.load(f)
-    if "torch_cpu_overlap_mp_per_sec" not in data:
-        data["torch_cpu_overlap_mp_per_sec"] = bench_infer.measure_torch_cpu()
-        with open(BASELINE_FILE, "w") as f:
-            json.dump(data, f, indent=1)
-    mps = bench_infer.measure_tpu()
-    return {
-        "metric": "overlap_sr_upscaled_mp_per_sec",
-        "value": round(mps, 3),
-        "unit": "MP/s",
-        "vs_baseline": round(mps / data["torch_cpu_overlap_mp_per_sec"], 2),
-    }
+    return bench_infer.overlap_record()
 
 
 def main():

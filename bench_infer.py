@@ -93,7 +93,10 @@ def measure_tpu(n_images=N_IMAGES, reps=5):
     return n_images * 64 * 64 / 1e6 / dt
 
 
-def main():
+def overlap_record():
+    """Measure the TPU overlap-SR pipeline and build the driver JSON record,
+    lazily measuring + caching the torch-CPU baseline in BASELINE_FILE.
+    Single source of truth for the record — bench.py calls this too."""
     data = {}
     if os.path.isfile(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -102,14 +105,17 @@ def main():
         data["torch_cpu_overlap_mp_per_sec"] = measure_torch_cpu()
         with open(BASELINE_FILE, "w") as f:
             json.dump(data, f, indent=1)
-    baseline = data["torch_cpu_overlap_mp_per_sec"]
     mps = measure_tpu()
-    print(json.dumps({
+    return {
         "metric": "overlap_sr_upscaled_mp_per_sec",
         "value": round(mps, 3),
         "unit": "MP/s",
-        "vs_baseline": round(mps / baseline, 2),
-    }))
+        "vs_baseline": round(mps / data["torch_cpu_overlap_mp_per_sec"], 2),
+    }
+
+
+def main():
+    print(json.dumps(overlap_record()))
 
 
 if __name__ == "__main__":

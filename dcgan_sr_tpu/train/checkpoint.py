@@ -67,8 +67,15 @@ def save_checkpoint(directory, name, epoch, state: TrainState):
     return epoch
 
 
-def load_checkpoint(directory, name, epoch, template: TrainState) -> TrainState:
-    """Restore into the (freshly initialized) template's tree structure."""
+def load_checkpoint(directory, name, epoch, template: TrainState,
+                    seed_missing_ema=False) -> TrainState:
+    """Restore into the (freshly initialized) template's tree structure.
+
+    If the template carries an EMA branch but the npz was saved without one,
+    the default is a clear error: callers that *score* the EMA branch (e.g.
+    tools/select_checkpoint.py --ema) must not silently rank raw params
+    labeled as EMA. Resume call sites pass seed_missing_ema=True to seed the
+    EMA from the loaded params and keep smoothing from there."""
     new = {}
     g_tmpl = {"params": template.g_params, "state": template.g_state,
               "opt": template.g_opt}
@@ -81,9 +88,12 @@ def load_checkpoint(directory, name, epoch, template: TrainState) -> TrainState:
                              "opt": template.d_opt})):
         data = np.load(checkpoint_path(directory, name, epoch, net))
         if net == "G" and "ema" in tree and "ema" not in npz_branches(data):
-            # resuming --g-ema from a checkpoint saved without the EMA
-            # branch: seed the EMA from the loaded params (the step keeps
-            # smoothing from there) instead of dying on a bare KeyError
+            if not seed_missing_ema:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path(directory, name, epoch, net)} "
+                    "has no EMA branch (saved without --g-ema); pass "
+                    "seed_missing_ema=True to seed the EMA from the loaded "
+                    "params (resume), or load/score the raw branch instead")
             print("checkpoint has no EMA branch; seeding g_ema_params from "
                   "the loaded generator params")
             tree = {k: v for k, v in tree.items() if k != "ema"}

@@ -28,12 +28,18 @@ def machine_cpu_cache_dir(root=_REPO):
     XLA:CPU also embeds pseudo-features (+prefer-no-scatter/-gather) chosen
     from the CPU *model*, so two hosts with identical flag lines can still
     reject each other's AOT entries (seen in round 3: every load failed the
-    feature check and forced a full recompile). Key on the whole first
-    processor block — model name, family, stepping AND flags.
+    feature check and forced a full recompile). Key on the STABLE identity
+    lines of the first processor block — model name, vendor, family, model,
+    stepping AND flags — but not the volatile ones (`cpu MHz` changes with
+    frequency scaling, which would mint a fresh empty cache dir per run).
     """
+    stable = ("vendor_id", "cpu family", "model", "model name", "stepping",
+              "flags")
     try:
         with open("/proc/cpuinfo") as f:
-            block = f.read().split("\n\n", 1)[0]
+            lines = f.read().split("\n\n", 1)[0].splitlines()
+        block = "\n".join(l for l in lines
+                          if l.split(":", 1)[0].strip() in stable)
     except OSError:
         block = platform.processor()
     tag = hashlib.sha1((platform.machine() + block).encode()).hexdigest()[:10]
@@ -48,9 +54,13 @@ def pin_cpu(jax, min_compile_secs=0.5):
     alone cannot pin the platform).
     """
     jax.config.update("jax_platforms", "cpu")
-    # silence XLA:CPU's page-long LOG(ERROR) on cache loads whose embedded
+    # XLA:CPU prints a page-long LOG(ERROR) on cache loads whose embedded
     # feature list names XLA-internal pseudo-features (+prefer-no-*); the
-    # entries load fine (measured) — the message is noise
+    # entries load fine (measured) — the message is noise. NOTE: the C++
+    # logger latches TF_CPP_MIN_LOG_LEVEL when the backend .so loads (at
+    # `import jax`), so this in-process set only helps callers that invoke
+    # pin_cpu before jax's first import; entry points set it at module top
+    # (tests/conftest.py, tools/*, train.py --cpu) where it always works.
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     # an explicitly exported cache dir wins; otherwise per-machine default
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") \

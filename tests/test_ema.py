@@ -73,9 +73,11 @@ def test_ema_checkpoint_roundtrip(tmp_path):
 
 
 def test_resume_ema_from_non_ema_checkpoint(tmp_path):
-    """Resuming --g-ema from a checkpoint saved WITHOUT the EMA branch seeds
-    g_ema_params from the loaded generator params instead of KeyError-ing
-    (ADVICE r2); checkpoints carry an explicit __branches__ manifest."""
+    """Loading --g-ema from a checkpoint saved WITHOUT the EMA branch raises
+    a clear error by default (EMA scorers must not silently rank raw params),
+    and seeds g_ema_params from the loaded generator params when the resume
+    call site opts in (ADVICE r2); checkpoints carry an explicit
+    __branches__ manifest."""
     from dcgan_sr_tpu.train.checkpoint import (checkpoint_path, load_branch,
                                                npz_branches)
 
@@ -97,7 +99,11 @@ def test_resume_ema_from_non_ema_checkpoint(tmp_path):
     cfg_ema = get_config("gray-patch-batch", env_override=False, g_ema=0.9,
                          **TINY)
     template = init_train_state(cfg_ema, jax.random.PRNGKey(6))
-    st2 = load_checkpoint(str(tmp_path), cfg_ema.name, 1, template)
+    import pytest
+    with pytest.raises(ValueError, match="no EMA branch"):
+        load_checkpoint(str(tmp_path), cfg_ema.name, 1, template)
+    st2 = load_checkpoint(str(tmp_path), cfg_ema.name, 1, template,
+                          seed_missing_ema=True)
     assert st2.g_ema_params is not None
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),

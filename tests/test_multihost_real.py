@@ -11,6 +11,7 @@ with the 1x8 run to collective-reduction-order tolerance.
 
 import json
 import os
+import socket
 import subprocess
 import sys
 
@@ -38,10 +39,19 @@ def _result(proc, timeout=420):
     return json.loads(line)
 
 
+def _free_port():
+    # ask the kernel for an unused port (hardcoded ports collide with
+    # TIME_WAIT sockets left by a crashed prior run, or unrelated listeners)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def test_two_process_dp_matches_single_process():
-    control = _result(_launch(1, 0, 8, 12361))
-    p0 = _launch(2, 0, 4, 12362)
-    p1 = _launch(2, 1, 4, 12362)
+    control = _result(_launch(1, 0, 8, _free_port()))
+    port = _free_port()
+    p0 = _launch(2, 0, 4, port)
+    p1 = _launch(2, 1, 4, port)
     r0, r1 = _result(p0), _result(p1)
     # Replicated outputs: every process sees the same numbers.
     for k in LOSS_KEYS:

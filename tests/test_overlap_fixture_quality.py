@@ -19,14 +19,11 @@ from dcgan_sr_tpu.image.ops import box_downsample2, resize_bilinear
 from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
 from dcgan_sr_tpu.metrics import cal_psnr_batch
 from dcgan_sr_tpu.train import init_train_state
-from dcgan_sr_tpu.train.checkpoint import load_branch as _load_branch_impl
+from dcgan_sr_tpu.train.checkpoint import load_branch
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE = os.path.join(REPO, "fixtures", "overlap_textured_net_G.npz")
 
-
-def _load_branch(data, key, tree):
-    return _load_branch_impl(data, key, tree)
 
 
 @pytest.mark.skipif(not os.path.isfile(FIXTURE), reason="fixture not committed")
@@ -34,8 +31,8 @@ def test_seam_beats_naive_beats_bilinear_heldout():
     cfg = get_config("gray-patch-batch-overlap", env_override=False)
     data = np.load(FIXTURE)
     template = init_train_state(cfg, jax.random.PRNGKey(0))
-    params = _load_branch(data, "params", template.g_params)
-    g_state = _load_branch(data, "state", template.g_state)
+    params = load_branch(data, "params", template.g_params)
+    g_state = load_branch(data, "state", template.g_state)
 
     src = TexturedImages(cfg.fineSize, nc=1, seed=1234)
     hr = jnp.asarray(src.load_batch(62500, 16))[:, 0]  # held-out slice
@@ -60,8 +57,8 @@ def test_evaluate_overlap_slice_cli_path():
     cfg = get_config("gray-patch-batch-overlap", env_override=False)
     data = np.load(FIXTURE)
     template = init_train_state(cfg, jax.random.PRNGKey(0))
-    params = _load_branch(data, "params", template.g_params)
-    g_state = _load_branch(data, "state", template.g_state)
+    params = load_branch(data, "params", template.g_params)
+    g_state = load_branch(data, "state", template.g_state)
 
     src = TexturedImages(cfg.fineSize, nc=1, seed=1234)
     res = evaluate_overlap_slice(cfg, params, g_state, src, [62500],

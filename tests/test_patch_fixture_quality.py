@@ -16,14 +16,11 @@ from dcgan_sr_tpu.core import get_config
 from dcgan_sr_tpu.data.synthetic import TexturedImages
 from dcgan_sr_tpu.evaluation.harness import evaluate_slice
 from dcgan_sr_tpu.train import init_train_state
-from dcgan_sr_tpu.train.checkpoint import load_branch as _load_branch_impl
+from dcgan_sr_tpu.train.checkpoint import load_branch
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE = os.path.join(REPO, "fixtures", "gpb_textured_net_G.npz")
 
-
-def _load_branch(data, key, tree):
-    return _load_branch_impl(data, key, tree)
 
 
 @pytest.mark.skipif(not os.path.isfile(FIXTURE), reason="fixture not committed")
@@ -33,8 +30,8 @@ def test_patch_fixture_beats_bilinear_heldout():
     template = init_train_state(cfg, jax.random.PRNGKey(0))
 
     data = np.load(FIXTURE)
-    params = _load_branch(data, "params", template.g_params)
-    state = _load_branch(data, "state", template.g_state)
+    params = load_branch(data, "params", template.g_params)
+    state = load_branch(data, "state", template.g_state)
 
     r = evaluate_slice(cfg, None, params, state, src, [20000], batch_size=50)
     assert r.psnr_generator > r.psnr_bilinear + 2.0, (

@@ -13,14 +13,11 @@ from dcgan_sr_tpu.core import get_config
 from dcgan_sr_tpu.data.synthetic import TexturedImages
 from dcgan_sr_tpu.evaluation.harness import evaluate_slice
 from dcgan_sr_tpu.train import init_train_state
-from dcgan_sr_tpu.train.checkpoint import load_branch as _load_branch_impl
+from dcgan_sr_tpu.train.checkpoint import load_branch
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE = os.path.join(REPO, "fixtures", "rgb_textured_net_G.npz")
 
-
-def _load_branch(data, key, tree):
-    return _load_branch_impl(data, key, tree)
 
 
 @pytest.mark.skipif(not os.path.isfile(FIXTURE), reason="fixture not committed")
@@ -28,8 +25,8 @@ def test_rgb_fixture_beats_bilinear_heldout():
     cfg = get_config("rgb-full", env_override=False)
     data = np.load(FIXTURE)
     template = init_train_state(cfg, jax.random.PRNGKey(0))
-    params = _load_branch(data, "params", template.g_params)
-    state = _load_branch(data, "state", template.g_state)
+    params = load_branch(data, "params", template.g_params)
+    state = load_branch(data, "state", template.g_state)
 
     src = TexturedImages(cfg.fineSize, nc=3, seed=1234)
     r = evaluate_slice(cfg, None, params, state, src, [4002], batch_size=50)

@@ -26,6 +26,11 @@ import json
 import os
 import sys
 
+# XLA's C++ logger latches TF_CPP_MIN_LOG_LEVEL when the backend .so loads
+# (at `import jax`), so pin_cpu() setting it in-process is too late to mute
+# the cpu_aot_loader pseudo-feature load messages. Set it before any jax import.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
