@@ -38,10 +38,14 @@ from .train.checkpoint import latest_epoch, load_checkpoint
 
 def _per_host(batch):
     """Multi-host feed: each process keeps only its slice of the global
-    batch (parallel.mesh.local_batch_slice); no-op on a single host."""
+    batch (parallel.mesh.local_batch_slice); no-op on a single host.
+    Pytree-aware: device_augment batches are (canvas, tops, lefts, flips)
+    tuples whose leaves all lead with the batch dim."""
     if jax.process_count() > 1:
         from .parallel.mesh import local_batch_slice
-        return batch[local_batch_slice(len(batch))]
+        n = len(jax.tree_util.tree_leaves(batch)[0])
+        sl = local_batch_slice(n)
+        return jax.tree_util.tree_map(lambda x: x[sl], batch)
     return batch
 
 
@@ -67,15 +71,15 @@ def build_data(cfg, args):
                 manual_seed=cfg.manualSeed or 0)
 
             def batch_fn(epoch, i):
-                rgb = _per_host(loader.get_batch())  # (B, 3, H, W)
+                batch = _per_host(loader.get_batch())
                 if dev_pre or dev_aug:
-                    # raw [0,1] RGB: crop/hflip (device_augment) and gray-
-                    # convert + normalize + degrade (device_preprocess) run
-                    # fused inside the train step
-                    return rgb
+                    # raw [0,1] RGB (for device_augment a (canvas, tops,
+                    # lefts, flips) tuple): crop/hflip and gray-convert +
+                    # normalize + degrade run fused inside the train step
+                    return batch
                 if cfg.nc == 1:
-                    return np.asarray(rgb2gray(rgb))[:, None]
-                return rgb
+                    return np.asarray(rgb2gray(batch))[:, None]
+                return batch
             return loader, batch_fn
         print(f"DATA_ROOT {root} not found; falling back to synthetic data")
     if cfg.device_augment or cfg.device_preprocess:
@@ -282,7 +286,8 @@ def main(argv=None):
     if args.resume and args.checkpoint_dir:
         ep = latest_epoch(args.checkpoint_dir, cfg.name)
         if ep is not None:
-            state = load_checkpoint(args.checkpoint_dir, cfg.name, ep, state)
+            state = load_checkpoint(args.checkpoint_dir, cfg.name, ep, state,
+                                    seed_missing_ema=True)
             start_epoch = ep
             print(f"resumed from epoch {ep}")
 
@@ -292,9 +297,12 @@ def main(argv=None):
         from .parallel import build_dp_multi_step
         mesh = create_mesh()
         step_fn = build_dp_train_step(cfg, mesh)
-        # batch_dim 1 shards the B axis of a (K, B, ...) scan super-batch
+        # batch_dim 1 shards the B axis of a (K, B, ...) scan super-batch;
+        # the canvas leaf (max ndim) decides — device_augment tuples carry
+        # (B,) offset leaves that shard on the same spec prefix
         prepare = lambda b: shard_batch(
-            jnp.asarray(b), mesh, batch_dim=np.asarray(b).ndim - 4)
+            b, mesh,
+            batch_dim=max(x.ndim for x in jax.tree_util.tree_leaves(b)) - 4)
         if args.scan > 1:
             multi_step_fn = build_dp_multi_step(cfg, mesh)
         print(f"data-parallel over {jax.device_count()} devices")
@@ -386,7 +394,15 @@ def main(argv=None):
         if hasattr(loader, "load_one"):
             sample = loader.load_one(1)[0]
         else:
-            sample = batch_fn(1, 0)[0, 0]
+            batch = batch_fn(1, 0)
+            if isinstance(batch, tuple):
+                # device_augment (canvas, tops, lefts, flips): crop the
+                # first canvas at its drawn offsets for the dump
+                canvas, tops, lefts, _ = batch
+                t, l, fs = int(tops[0]), int(lefts[0]), cfg.fineSize
+                sample = canvas[0, 0, t:t + fs, l:l + fs]
+            else:
+                sample = batch[0, 0]
         dump_samples(cfg, state, args.samples_dir, sample)
 
     print("Total time: %.3f" % (time.perf_counter() - t0))

@@ -87,11 +87,13 @@ class Config:
     # device in one fused pass — the donkey hook's post-decode work moved
     # on-chip (north star; donkey_folder.lua:52-70)
     device_preprocess: bool = False
-    # device_augment: the train step receives raw loadSize canvases and runs
-    # the donkey trainHook's random crop + hflip ON DEVICE (image/ops.py
-    # random_crop_hflip) before the fused preprocess; the per-step PRNG key
-    # derives from manualSeed and the Adam step counter (and the DP axis
-    # index under shard_map), so scan/DP signatures are unchanged
+    # device_augment: the train step receives (canvas, tops, lefts, flips)
+    # batches — raw loadSize canvases plus host-drawn trainHook crop offsets
+    # and flip coins (the reference's single uniform draw over the full
+    # aspect-resized image; data/folder.py sample_canvas) — and runs the
+    # crop + hflip pixel work ON DEVICE (image/ops.py crop_hflip_at) before
+    # the fused preprocess; the scalar offsets shard with the batch, so
+    # scan/DP signatures are unchanged
     device_augment: bool = False
     # compact_params: store master weights (and Adam moments) as 2-D
     # (dim0, rest) matrices so the optimizer's elementwise passes run on
@@ -215,6 +217,12 @@ def get_config(variant: str, env_override: bool = True, **overrides) -> Config:
     if variant not in VARIANTS:
         raise KeyError(f"unknown variant {variant!r}; have {sorted(VARIANTS)}")
     cfg = dataclasses.replace(VARIANTS[variant], **overrides)
+    if cfg.device_augment and not cfg.device_preprocess:
+        # device_augment crops raw [0,1] canvases on-chip; without the fused
+        # preprocess the step would feed un-normalized data to a pm1 G (or
+        # mis-shaped RGB to an nc=1 G). The implication is structural, so
+        # enforce it here rather than per entry point.
+        cfg = dataclasses.replace(cfg, device_preprocess=True)
     if env_override and cfg.variant != "gray-2":
         # train-gray-2.lua has no env-override line; all others do.
         cfg = apply_env_overrides(cfg)

@@ -168,25 +168,45 @@ class FolderDataset:
         return out
 
     def sample_canvas(self, batch_size, rng=None):
-        """Raw [0,1] (B, 3, loadSize, loadSize) canvases for device-side
-        augmentation (cfg.device_augment): aspect resize so the short side
-        equals loadSize, then a random crop of the long dim to loadSize
-        (same offset scheme as the trainHook). The fineSize random crop +
-        hflip + normalize run ON DEVICE inside the train step
-        (image/ops.random_crop_hflip + the fused preprocess)."""
+        """Batch for device-side augmentation (cfg.device_augment): raw [0,1]
+        (B, 3, loadSize, loadSize) canvases plus HOST-drawn crop offsets and
+        flip coins — `(canvas, tops, lefts, flips)`.
+
+        The crop offsets come from the trainHook's SINGLE uniform draw over
+        the full aspect-resized image (donkey_folder.lua:57-62, same
+        crop_start and same per-image rng order as train_hook), then split
+        into a host pre-crop to the static loadSize canvas plus an in-canvas
+        residual in {0..loadSize-fineSize} for the device. Composing two
+        independent uniform draws instead (host long-dim crop x device crop)
+        would yield a triangular total-offset distribution that never samples
+        offset 1 — not the reference's. With equal-seeded rngs the composed
+        device crop (image/ops.crop_hflip_at) reproduces sample(normalize=
+        False) BIT-EXACTLY (tested)."""
         rng = rng or np.random.RandomState()
         by_class, class_ids = self._by_class, self._class_ids
-        ls = self.load_size
+        ls, fs = self.load_size, self.fine_size
         out = np.empty((batch_size, 3, ls, ls), np.float32)
+        tops = np.empty(batch_size, np.int32)
+        lefts = np.empty(batch_size, np.int32)
+        flips = np.empty(batch_size, bool)
         for i in range(batch_size):
             cls = class_ids[rng.randint(len(class_ids))]
             path = by_class[cls][rng.randint(len(by_class[cls]))]
             img = self._load_resized(path)
             h, w = img.shape[-2], img.shape[-1]
-            h1 = crop_start(rng, h, ls)
-            w1 = crop_start(rng, w, ls)
-            out[i] = img[:, h1:h1 + ls, w1:w1 + ls]
-        return out
+            # the reference's one-draw total offsets over the FULL image,
+            # in train_hook's exact rng order (h1, w1, flip)
+            t_h = crop_start(rng, h, fs)
+            t_w = crop_start(rng, w, fs)
+            flips[i] = rng.rand() > 0.5
+            # host pre-crop keeping the chosen window inside the canvas:
+            # residual r = t - c lands in {0..ls-fs} by construction
+            ch = min(max(t_h - 1, 0), h - ls)
+            cw = min(max(t_w - 1, 0), w - ls)
+            out[i] = img[:, ch:ch + ls, cw:cw + ls]
+            tops[i] = t_h - ch
+            lefts[i] = t_w - cw
+        return out, tops, lefts, flips
 
     def get(self, i1, i2, rng=None):
         """Sequential slice (dataset.lua:349-365), 1-based inclusive like Lua."""

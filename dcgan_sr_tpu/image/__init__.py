@@ -2,6 +2,7 @@ from .ops import (  # noqa: F401
     box_downsample2,
     convolve_full,
     crop,
+    crop_hflip_at,
     gaussian_window,
     hflip,
     normalize_pm1,

@@ -120,13 +120,37 @@ def hflip(x):
     return jnp.flip(x, axis=-1)
 
 
+def crop_hflip_at(batch, tops, lefts, flips, fine):
+    """Device-side trainHook crop + flip at given per-image offsets, batched
+    under jit (donkey_folder.lua:63-67: the pixel work of image.crop +
+    image.hflip, on-chip).
+
+    batch: (B, C, H, W) with H, W >= fine; tops/lefts: (B,) int offsets with
+    top + fine <= H (resp. left + fine <= W); flips: (B,) bool.  The offsets
+    are drawn on the HOST (data/folder.py sample_canvas) with the reference's
+    single uniform draw over the full aspect-resized image, so the crop
+    distribution is exactly the donkey trainHook's — only the O(pixels) work
+    moves on-device.
+    """
+    import jax
+
+    def one(img, top, left, flip):
+        out = jax.lax.dynamic_slice(
+            img, (0, top, left), (img.shape[0], fine, fine))
+        return jnp.where(flip, jnp.flip(out, axis=-1), out)
+
+    return jax.vmap(one)(batch, tops, lefts, flips)
+
+
 def random_crop_hflip(key, batch, fine):
-    """Device-side trainHook augmentation: per-image random crop to `fine`
+    """Key-driven variant of crop_hflip_at: per-image random crop to `fine`
     and hflip with p=0.5 (donkey_folder.lua:52-70), batched under jit.
 
     batch: (B, C, H, W) with H, W >= fine; key: jax PRNG key.  Each image gets
-    independent crop offsets and flip coins — the donkey pool's per-thread RNG
-    streams become one splittable key.
+    independent crop offsets and flip coins.  NOTE: uniform over the BATCH
+    canvas only — the train step uses host-drawn offsets (crop_hflip_at) so
+    the composed host-crop + device-crop distribution matches the reference's
+    one-draw uniform over the full aspect-resized image.
     """
     import jax
 
@@ -137,13 +161,7 @@ def random_crop_hflip(key, batch, fine):
     tops = jax.random.randint(k1, (b,), min(1, h - fine), h - fine + 1)
     lefts = jax.random.randint(k2, (b,), min(1, w - fine), w - fine + 1)
     flips = jax.random.bernoulli(k3, 0.5, (b,))
-
-    def one(img, top, left, flip):
-        out = jax.lax.dynamic_slice(
-            img, (0, top, left), (img.shape[0], fine, fine))
-        return jnp.where(flip, jnp.flip(out, axis=-1), out)
-
-    return jax.vmap(one)(batch, tops, lefts, flips)
+    return crop_hflip_at(batch, tops, lefts, flips, fine)
 
 
 def to_display(x):

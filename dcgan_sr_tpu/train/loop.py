@@ -66,8 +66,12 @@ def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
                 tm.reset()
                 data_tm.reset()
                 if k > 1:
-                    hr = np.stack([np.asarray(batch_fn(epoch, i + j))
-                                   for j in range(k)])
+                    # pytree-aware stack: device_augment batches are
+                    # (canvas, tops, lefts, flips) tuples
+                    chunk = [batch_fn(epoch, i + j) for j in range(k)]
+                    hr = jax.tree_util.tree_map(
+                        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *chunk)
                 else:
                     hr = batch_fn(epoch, i)
                 if prepare_batch is not None:

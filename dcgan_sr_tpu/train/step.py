@@ -121,23 +121,22 @@ def build_train_step(cfg, *, axis_name=None):
     rgb_to_gray = device_preprocess and cfg.nc == 1
     to_pm1 = device_preprocess and cfg.data_range == "pm1"
     device_augment = getattr(cfg, "device_augment", False)
-    aug_seed = cfg.manualSeed or 0
     fine_size = cfg.fineSize
 
     def step(state: TrainState, hr):
         if device_augment:
-            # donkey trainHook's random crop + hflip on device
-            # (donkey_folder.lua:52-70 -> image/ops.py random_crop_hflip).
-            # The key derives from the Adam step counter so the step keeps
-            # its (state, batch) signature under scan and shard_map; DP
-            # replicas fold in their axis index so shards get independent
-            # crop offsets for their batch slices.
-            from ..image.ops import random_crop_hflip
-            key = jax.random.fold_in(jax.random.PRNGKey(aug_seed),
-                                     state.g_opt["t"])
-            if axis_name is not None:
-                key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-            hr = random_crop_hflip(key, hr, fine_size)
+            # donkey trainHook's crop + hflip pixel work on device
+            # (donkey_folder.lua:52-70 -> image/ops.py crop_hflip_at). The
+            # batch is (canvas, tops, lefts, flips): the loader draws the
+            # offsets on the host with the reference's SINGLE uniform over
+            # the full aspect-resized image (data/folder.py sample_canvas),
+            # so the crop distribution is exactly the donkey's — an on-chip
+            # second uniform composed with the host pre-crop would be
+            # triangular instead. Scalar offsets shard with the batch under
+            # scan and shard_map like any other leading-B leaf.
+            from ..image.ops import crop_hflip_at
+            hr, tops, lefts, flips = hr
+            hr = crop_hflip_at(hr, tops, lefts, flips, fine_size)
         if use_pallas or device_preprocess:
             # fused device-side preprocess (ops/pallas_kernels.py): optional
             # rgb->gray + [0,1]->[-1,1] + 2x2 degrade in one HBM pass;
