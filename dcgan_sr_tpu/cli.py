@@ -396,11 +396,14 @@ def main(argv=None):
         else:
             batch = batch_fn(1, 0)
             if isinstance(batch, tuple):
-                # device_augment (canvas, tops, lefts, flips): crop the
-                # first canvas at its drawn offsets for the dump
-                canvas, tops, lefts, _ = batch
+                # device_augment (canvas, tops, lefts, flips): apply the
+                # first image's drawn crop AND flip for the dump, so the
+                # sample is the trainHook output for that draw
+                canvas, tops, lefts, flips = batch
                 t, l, fs = int(tops[0]), int(lefts[0]), cfg.fineSize
                 sample = canvas[0, 0, t:t + fs, l:l + fs]
+                if bool(flips[0]):
+                    sample = sample[:, ::-1]
             else:
                 sample = batch[0, 0]
         dump_samples(cfg, state, args.samples_dir, sample)

@@ -217,13 +217,14 @@ def get_config(variant: str, env_override: bool = True, **overrides) -> Config:
     if variant not in VARIANTS:
         raise KeyError(f"unknown variant {variant!r}; have {sorted(VARIANTS)}")
     cfg = dataclasses.replace(VARIANTS[variant], **overrides)
+    if env_override and cfg.variant != "gray-2":
+        # train-gray-2.lua has no env-override line; all others do.
+        cfg = apply_env_overrides(cfg)
     if cfg.device_augment and not cfg.device_preprocess:
         # device_augment crops raw [0,1] canvases on-chip; without the fused
         # preprocess the step would feed un-normalized data to a pm1 G (or
         # mis-shaped RGB to an nc=1 G). The implication is structural, so
-        # enforce it here rather than per entry point.
+        # enforce it here — AFTER env overrides, which can also set
+        # device_augment — rather than per entry point.
         cfg = dataclasses.replace(cfg, device_preprocess=True)
-    if env_override and cfg.variant != "gray-2":
-        # train-gray-2.lua has no env-override line; all others do.
-        cfg = apply_env_overrides(cfg)
     return cfg

@@ -201,11 +201,17 @@ class FolderDataset:
             flips[i] = rng.rand() > 0.5
             # host pre-crop keeping the chosen window inside the canvas:
             # residual r = t - c lands in {0..ls-fs} by construction
-            ch = min(max(t_h - 1, 0), h - ls)
-            cw = min(max(t_w - 1, 0), w - ls)
+            # (when ls == fs the residual range is {0} — the host crop must
+            # absorb the whole offset, hence the min(1, ls-fs) back-off;
+            # dynamic_slice would silently CLAMP an out-of-range residual)
+            back = min(1, ls - fs)
+            ch = min(max(t_h - back, 0), h - ls)
+            cw = min(max(t_w - back, 0), w - ls)
             out[i] = img[:, ch:ch + ls, cw:cw + ls]
             tops[i] = t_h - ch
             lefts[i] = t_w - cw
+            assert 0 <= tops[i] <= ls - fs and 0 <= lefts[i] <= ls - fs, (
+                t_h, t_w, ch, cw, h, w, ls, fs)
         return out, tops, lefts, flips
 
     def get(self, i1, i2, rng=None):

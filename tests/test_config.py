@@ -61,3 +61,19 @@ def test_get_config_overrides_kwargs():
     assert cfg.ngf == 32 and cfg.batchSize == 10
     with pytest.raises(TypeError):
         get_config("gray-3", env_override=False, nonexistent_field=1)
+
+
+def test_device_augment_implies_preprocess_even_via_env(monkeypatch):
+    """device_augment => device_preprocess is enforced AFTER env overrides:
+    `device_augment=1 python train.py ...` must not leave the step cropping
+    raw [0,1] canvases without the fused normalize (silently out-of-domain
+    for pm1 generators)."""
+    cfg = get_config("rgb-full", env_override=False, device_augment=True)
+    assert cfg.device_preprocess
+    monkeypatch.setenv("device_augment", "1")
+    cfg = get_config("rgb-full")
+    assert cfg.device_augment and cfg.device_preprocess
+    # env can also try to strip the preprocess from an augment config
+    monkeypatch.setenv("device_preprocess", "0")
+    cfg = get_config("rgb-full")
+    assert cfg.device_augment and cfg.device_preprocess

@@ -94,6 +94,22 @@ def test_composed_device_crop_matches_host_hook_bitexact(tmp_path):
     assert 0.2 < flips.mean() < 0.8
 
 
+def test_composed_crop_bitexact_when_loadsize_equals_finesize(tmp_path):
+    """loadSize == fineSize: the residual range collapses to {0}, so the host
+    pre-crop must absorb the WHOLE drawn offset (a residual of 1 would be
+    silently clamped by dynamic_slice, shifting every crop by one pixel).
+    Rect source images keep the long dim > loadSize so offsets are live."""
+    root = _tiny_folder(tmp_path, hw=(120, 80))
+    ds = FolderDataset(root, load_size=64, fine_size=64, nc=3,
+                       cache_dir=str(tmp_path / "cache"))
+    host = ds.sample(8, np.random.RandomState(9), normalize=False)
+    canvas, tops, lefts, flips = ds.sample_canvas(8, np.random.RandomState(9))
+    assert tops.max() == 0 and lefts.max() == 0
+    dev = np.asarray(crop_hflip_at(jnp.asarray(canvas), jnp.asarray(tops),
+                                   jnp.asarray(lefts), jnp.asarray(flips), 64))
+    np.testing.assert_array_equal(dev, host)
+
+
 def test_total_offset_support_is_reference_uniform(tmp_path):
     """When the aspect-resized long dim exceeds loadSize, the COMPOSED total
     offset (host pre-crop + device residual) must cover the reference's one-
