@@ -57,10 +57,14 @@ def pin_cpu(jax, min_compile_secs=0.5):
     # XLA:CPU prints a page-long LOG(ERROR) on cache loads whose embedded
     # feature list names XLA-internal pseudo-features (+prefer-no-*); the
     # entries load fine (measured) — the message is noise. NOTE: the C++
-    # logger latches TF_CPP_MIN_LOG_LEVEL when the backend .so loads (at
-    # `import jax`), so this in-process set only helps callers that invoke
-    # pin_cpu before jax's first import; entry points set it at module top
-    # (tests/conftest.py, tools/*, train.py --cpu) where it always works.
+    # logger latches TF_CPP_MIN_LOG_LEVEL when the backend .so loads, so
+    # in-process sets (even at module top, before any jax import) are
+    # BEST-EFFORT — measured round 3: a shell-level
+    # `TF_CPP_MIN_LOG_LEVEL=3 python ...` export always suppresses the
+    # load-time messages, while the same value set via os.environ before
+    # `import jax` sometimes does not. Entry points still set it at module
+    # top (tests/conftest.py, tools/*, train.py --cpu) as the cheap layer;
+    # export it in the shell when clean stderr matters.
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     # an explicitly exported cache dir wins; otherwise per-machine default
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") \
