@@ -75,3 +75,24 @@ def test_rect_seam_identity_on_consistent_tiles():
     tiles = np.asarray(extract_overlap_patches(img, P, OV))
     out = seam_stitch(tiles, (24, 36), P, OV)
     np.testing.assert_allclose(out, img, atol=0)
+
+
+def test_overlap_pad_dim_legal_geometries_terminate_even_and_minimal():
+    from dcgan_sr_tpu.infer.tiled import overlap_pad_dim
+    for patch, ov in [(8, 4), (8, 3), (9, 4), (16, 8), (7, 2)]:
+        q = patch - ov
+        for d in range(1, 70):
+            d2 = overlap_pad_dim(d, patch, ov)
+            assert d2 >= max(d, patch)
+            assert (d2 - ov) % q == 0 and d2 % 2 == 0
+            # minimality: no smaller extent satisfies both constraints
+            for c in range(max(d, patch), d2):
+                assert (c - ov) % q != 0 or c % 2 != 0
+
+
+def test_overlap_pad_dim_odd_overlap_even_stride_raises():
+    # q = patch - overlap even with overlap odd pins every legal extent to
+    # odd parity; the former implementation looped forever here (ADVICE r2).
+    from dcgan_sr_tpu.infer.tiled import overlap_pad_dim
+    with pytest.raises(ValueError, match="unsatisfiable"):
+        overlap_pad_dim(30, 9, 5)
