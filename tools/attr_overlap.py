@@ -137,9 +137,9 @@ def main():
         ca = stage_fns["seam"].lower(xs).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        results["bytes_accessed_per_dispatch_gb"] = round(
+        results["bytes_accessed_per_step_gb"] = round(
             ca.get("bytes accessed", 0.0) / k / 1e9, 3)
-        results["flops_per_dispatch_g"] = round(
+        results["flops_per_step_g"] = round(
             ca.get("flops", 0.0) / k / 1e9, 2)
     except Exception as e:  # cost analysis is best-effort over the tunnel
         results["cost_analysis_error"] = str(e)[:120]
