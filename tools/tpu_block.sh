@@ -98,11 +98,14 @@ r4queue() {
         --steps 100 --epochs 250 --pixel-loss 1000 --g-ema 0.999 --seed 42 \
         --eval --eval-sets 21 --checkpoint-dir checkpoints_gray \
         --log-every 100 --resume || return $?
-    # 2. gray-patch extension (oscillating; rank with select_checkpoint after)
+    # 2. gray-patch extension (oscillating; rank with select_checkpoint
+    #    after). Flags MUST match the original checkpoints_gp run (default
+    #    steps/epoch, scan 50, eval-sets 5); ~29.6 s/epoch -> 90->250 is
+    #    ~80 min.
     run /tmp/gp_ext.log python train.py --config gray-patch --textured \
-        --steps 100 --epochs 250 --pixel-loss 1000 --g-ema 0.999 --seed 42 \
-        --eval --eval-sets 21 --checkpoint-dir checkpoints_gp \
-        --log-every 100 --resume || return $?
+        --epochs 250 --scan 50 --pixel-loss 1000 --g-ema 0.999 --seed 42 \
+        --eval --eval-sets 5 --checkpoint-dir checkpoints_gp \
+        --log-every 500 --resume || return $?
     # 3. overlap-inference attribution on real hardware
     run /tmp/attr_overlap.log python tools/attr_overlap.py || return $?
     # 4. confirm both north-star bench lines on a healthy tunnel, then stop
