@@ -93,11 +93,9 @@ run() {
 r4queue() {
     probe || return 2
     sleep "$COOLDOWN_S"
-    # 1. gray quality extension (weakest PARITY row; monotone MSE scheme)
-    run /tmp/gray_ext.log python train.py --config gray --textured \
-        --steps 100 --epochs 250 --pixel-loss 1000 --g-ema 0.999 --seed 42 \
-        --eval --eval-sets 21 --checkpoint-dir checkpoints_gray \
-        --log-every 100 --resume || return $?
+    # (gray extension dropped: the end-of-round-3 CPU ranking sweep showed
+    # the raw curve asymptoting at ~28.845 train-slice by epoch 84, rising
+    # ~0.001 dB/epoch — 150 more epochs buys ~nothing. See CLAUDE.md.)
     # 2. gray-patch extension (oscillating; rank with select_checkpoint
     #    after). Flags MUST match the original checkpoints_gp run (default
     #    steps/epoch, scan 50, eval-sets 5); ~29.6 s/epoch -> 90->250 is
