@@ -49,7 +49,7 @@ def overlap_pad_dim(d, patch, overlap):
     return d2
 
 
-def make_generator_fn(cfg, jit=True, bn_eval=False):
+def make_generator_fn(cfg, jit=True, bn_eval=False, self_ensemble=1):
     """Returns gen(params, state, lr_batch) -> hr_batch, (B, nc, h, w) in/out.
 
     Default runs in train mode (batch statistics) — the reference never
@@ -60,12 +60,20 @@ def make_generator_fn(cfg, jit=True, bn_eval=False):
     Measured on the textured protocol: single-image batch-stats inference
     LOSES to bilinear on every held-out image (17-28 dB) while the same
     checkpoint's running stats win on every one (28-32 dB) — see PARITY.md.
+
+    `self_ensemble=N` (2/4/8) averages the forward over N dihedral
+    transforms of the input (infer/ensemble.py) — inference-time quality
+    surplus (measured +1.26 dB on the gray-3 fixture at 8).
     """
     spec = generator_spec(cfg)
 
     def gen(params, state, lr):
         out, _ = apply_network(spec, params, lr, state, train=not bn_eval)
         return out
+
+    if self_ensemble != 1:
+        from .ensemble import self_ensemble as wrap
+        gen = wrap(gen, self_ensemble)
 
     return jax.jit(gen) if jit else gen
 
