@@ -361,7 +361,7 @@ def main(argv=None):
             # (train-gray-patch-batch-overlap.lua:423-424,453-454,703-704)
             from .evaluation import evaluate_overlap_slice
             from .infer.tiled import make_overlap_sr_fn
-            sr = make_overlap_sr_fn(cfg)
+            sr = make_overlap_sr_fn(cfg, self_ensemble=args.self_ensemble)
             evaluate_overlap_slice(
                 cfg, state.g_params, state.g_state, loader,
                 range(args.eval_sets), sr_fn=sr,

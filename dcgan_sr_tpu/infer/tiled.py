@@ -127,7 +127,7 @@ def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
 
 
 def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
-                       bn_eval=False, both_seams=False):
+                       bn_eval=False, both_seams=False, self_ensemble=1):
     """One jitted program: batched overlap SR of (N, H, W) images ->
     dict of stacked naive and seam-stitched outputs.  The whole pipeline —
     tile extraction, per-tile box downsample, the batched generator over
@@ -142,7 +142,9 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
     `fine` overrides the image size as (H, W) — both dims must satisfy
     (dim - overlap) % (patch - overlap) == 0; default cfg.fineSize square.
     `bn_eval` normalizes BN with running stats instead of per-image tile
-    batch stats (see make_generator_fn).
+    batch stats (see make_generator_fn).  `self_ensemble=N` averages each
+    tile's SR over N dihedral transforms (infer/ensemble.py) before
+    stitching — per-image BN batch stats are invariant under the group.
     """
     from ..models import apply_network, generator_spec
     from .seam_device import seam_stitch_device
@@ -151,15 +153,22 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
     fine = (cfg.fineSize, cfg.fineSize) if fine is None else tuple(fine)
     spec = generator_spec(cfg)
 
+    def gen_tiles(params, state, lr):
+        fake, _ = apply_network(spec, params, lr, state, train=not bn_eval,
+                                compute_dtype=compute_dtype)
+        return fake
+
+    if self_ensemble != 1:
+        from .ensemble import self_ensemble as wrap
+        gen_tiles = wrap(gen_tiles, self_ensemble)
+
     def one_image(params, state, image):
         tiles = extract_overlap_patches(image, patch, ov)    # (T, p, p)
         lr = box_downsample2(tiles)[:, None]
         # BN statistics are per-image (the reference feeds one image's 225
         # tiles as the generator batch, overlap:427-431) — vmapping the whole
         # per-image pipeline preserves that
-        fake, _ = apply_network(spec, params, lr, state, train=not bn_eval,
-                                compute_dtype=compute_dtype)
-        fake = fake[:, 0]
+        fake = gen_tiles(params, state, lr)[:, 0]
         return (stitch_overlap_naive(fake, fine, patch, ov),
                 seam_stitch_device(fake, fine, patch, ov,
                                    both_seams=both_seams))

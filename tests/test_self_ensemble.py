@@ -91,3 +91,36 @@ def test_gray3_fixture_self_ensemble_lift_heldout():
                            batch_size=32, with_ssim=False)
         scores[n] = r.psnr_generator
     assert scores[8] > scores[1] + 0.5, scores
+
+
+OVERLAP_FIXTURE = os.path.join(REPO, "fixtures", "overlap_textured_net_G.npz")
+
+
+@pytest.mark.slow  # 2x (8 images x 225 tiles x {1,8} members) on CPU
+@pytest.mark.skipif(not os.path.isfile(OVERLAP_FIXTURE),
+                    reason="fixture not committed")
+def test_overlap_pipeline_self_ensemble_lift():
+    # Measured (64 held-out images): seam 30.140 -> 30.883 dB at N=8,
+    # naive 29.686 -> 30.614 (bilinear 28.301) — PARITY.md surplus table.
+    from dcgan_sr_tpu.core import get_config
+    from dcgan_sr_tpu.data.synthetic import TexturedImages
+    from dcgan_sr_tpu.image.ops import box_downsample2  # noqa: F401
+    from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
+    from dcgan_sr_tpu.metrics.psnr_ssim import cal_psnr_batch
+    from dcgan_sr_tpu.train import init_train_state
+    from dcgan_sr_tpu.train.checkpoint import load_branch
+
+    cfg = get_config("gray-patch-batch-overlap", env_override=False)
+    data = np.load(OVERLAP_FIXTURE)
+    tmpl = init_train_state(cfg, jax.random.PRNGKey(0))
+    params = load_branch(data, "params", tmpl.g_params)
+    g_state = load_branch(data, "state", tmpl.g_state)
+    src = TexturedImages(cfg.fineSize, nc=1, seed=1234)
+    hr = jnp.asarray(src.load_batch(62500, 8))[:, 0]
+
+    seam = {}
+    for n in (1, 8):
+        out = make_overlap_sr_fn(cfg, bn_eval=True, self_ensemble=n)(
+            params, g_state, hr)
+        seam[n] = float(cal_psnr_batch(hr, out["seam"]).mean())
+    assert seam[8] > seam[1] + 0.3, seam

@@ -38,10 +38,6 @@ def batch_upscale(args, cfg, g_params, g_state):
     (train-gray-patch-batch-overlap.lua:387-399)."""
     import time
 
-    if args.self_ensemble != 1:
-        print("--self-ensemble applies to full/grid modes; the overlap "
-              "pipeline builds its own generator — flag ignored")
-
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +78,8 @@ def batch_upscale(args, cfg, g_params, g_state):
             batch = np.concatenate([batch, reps[:pad_n]])
     fn = make_overlap_sr_fn(cfg, mesh=mesh, fine=(Hp, Wp),
                             bn_eval=args.bn_eval,
-                            both_seams=args.both_seams)
+                            both_seams=args.both_seams,
+                            self_ensemble=args.self_ensemble)
     t0 = time.perf_counter()
     out = fn(g_params, g_state, jnp.asarray(batch))
     seam = np.asarray(out["seam"])[:n]
@@ -137,8 +134,9 @@ def main(argv=None):
     ap.add_argument("--self-ensemble", type=int, default=1, metavar="N",
                     choices=(1, 2, 4, 8),
                     help="average G over N dihedral transforms of its input "
-                         "(full/grid modes; infer/ensemble.py — measured "
-                         "+1.26 dB on the gray-3 fixture at 8)")
+                         "(all modes; per-tile in grid/overlap — "
+                         "infer/ensemble.py; measured +1.26 dB on the "
+                         "gray-3 fixture at 8)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -202,10 +200,6 @@ def main(argv=None):
     if mode == "auto":
         mode = ("overlap" if cfg.variant.endswith("overlap")
                 else "grid" if cfg.patch_based else "full")
-    if mode == "overlap" and args.self_ensemble != 1:
-        print("--self-ensemble applies to full/grid modes; the overlap "
-              "pipeline builds its own generator — flag ignored")
-
     # native-size SR: pad to the mode's tiling requirement, crop after.
     # The reference's patch machinery exists exactly so a tiny fixed-size G
     # covers any image (train-gray-patch-batch-overlap.lua:387-399); here
