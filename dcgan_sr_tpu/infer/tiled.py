@@ -49,7 +49,8 @@ def overlap_pad_dim(d, patch, overlap):
     return d2
 
 
-def make_generator_fn(cfg, jit=True, bn_eval=False, self_ensemble=1):
+def make_generator_fn(cfg, jit=True, bn_eval=False, self_ensemble=1,
+                      ensemble_batched=False):
     """Returns gen(params, state, lr_batch) -> hr_batch, (B, nc, h, w) in/out.
 
     Default runs in train mode (batch statistics) — the reference never
@@ -64,6 +65,9 @@ def make_generator_fn(cfg, jit=True, bn_eval=False, self_ensemble=1):
     `self_ensemble=N` (2/4/8) averages the forward over N dihedral
     transforms of the input (infer/ensemble.py) — inference-time quality
     surplus (measured +1.26 dB on the gray-3 fixture at 8).
+    `ensemble_batched=True` runs the N members as ONE (N*B)-batch generator
+    call instead of N calls — the MXU-friendly form (exact: see
+    ensemble.py; square inputs only).
     """
     spec = generator_spec(cfg)
 
@@ -73,7 +77,7 @@ def make_generator_fn(cfg, jit=True, bn_eval=False, self_ensemble=1):
 
     if self_ensemble != 1:
         from .ensemble import self_ensemble as wrap
-        gen = wrap(gen, self_ensemble)
+        gen = wrap(gen, self_ensemble, batched=ensemble_batched)
 
     return jax.jit(gen) if jit else gen
 

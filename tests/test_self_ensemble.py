@@ -124,3 +124,33 @@ def test_overlap_pipeline_self_ensemble_lift():
             params, g_state, hr)
         seam[n] = float(cal_psnr_batch(hr, out["seam"]).mean())
     assert seam[8] > seam[1] + 0.3, seam
+
+
+def test_batched_mode_vs_sequential():
+    # With RUNNING-stats BN (bn_eval) the batched form is the same math in
+    # one dispatch — exact to float tolerance. With train-mode BN it pools
+    # the members' (slightly diverging) deeper-layer batch moments — a
+    # close variant, bounded here (see ensemble.py docstring).
+    from dcgan_sr_tpu.core import get_config
+    from dcgan_sr_tpu.infer.tiled import make_generator_fn
+    from dcgan_sr_tpu.train import init_train_state
+
+    cfg = get_config("gray-3", env_override=False, ngf=8)
+    st = init_train_state(cfg, jax.random.PRNGKey(3))
+    x = jnp.asarray(np.random.RandomState(4).rand(4, 1, 32, 32), jnp.float32)
+    for bn_eval, tol in ((True, 1e-5), (False, 2e-3)):
+        seq = make_generator_fn(cfg, bn_eval=bn_eval, self_ensemble=8)(
+            st.g_params, st.g_state, x)
+        bat = make_generator_fn(cfg, bn_eval=bn_eval, self_ensemble=8,
+                                ensemble_batched=True)(
+            st.g_params, st.g_state, x)
+        np.testing.assert_allclose(np.asarray(bat), np.asarray(seq),
+                                   rtol=tol, atol=tol)
+
+
+def test_batched_mode_rectangles_use_flip_subgroup():
+    def ident(params, state, x):
+        return x
+    x = jnp.asarray(np.random.RandomState(5).rand(2, 1, 4, 6), jnp.float32)
+    got = self_ensemble(ident, 8, batched=True)(None, None, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), rtol=1e-6)
