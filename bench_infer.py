@@ -69,7 +69,7 @@ def measure_torch_cpu(n_images=4):
     return n_images * 64 * 64 / 1e6 / dt  # upscaled MP/s
 
 
-def measure_tpu(n_images=N_IMAGES, reps=5):
+def measure_tpu(n_images=N_IMAGES, reps=5, self_ensemble=1):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -80,7 +80,8 @@ def measure_tpu(n_images=N_IMAGES, reps=5):
 
     cfg = get_config("gray-patch-batch-overlap", env_override=False)
     st = init_train_state(cfg, jax.random.PRNGKey(0))
-    run = make_overlap_sr_fn(cfg, compute_dtype=jnp.bfloat16)
+    run = make_overlap_sr_fn(cfg, compute_dtype=jnp.bfloat16,
+                             self_ensemble=self_ensemble)
     imgs = jax.device_put(jnp.asarray(
         np.random.RandomState(0).rand(n_images, 64, 64), jnp.float32))
     out = run(st.g_params, st.g_state, imgs)
@@ -115,7 +116,21 @@ def overlap_record():
 
 
 def main():
-    print(json.dumps(overlap_record()))
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--self-ensemble", type=int, default=1,
+                    choices=(1, 2, 4, 8),
+                    help="measure the dihedral-averaged pipeline's MP/s "
+                         "instead (quality surplus costing; the driver "
+                         "record always benches the parity pipeline)")
+    args = ap.parse_args()
+    if args.self_ensemble != 1:
+        mps = measure_tpu(self_ensemble=args.self_ensemble)
+        print(json.dumps({
+            "metric": f"overlap_sr_upscaled_mp_per_sec_tta{args.self_ensemble}",
+            "value": round(mps, 3), "unit": "MP/s"}))
+    else:
+        print(json.dumps(overlap_record()))
 
 
 if __name__ == "__main__":
