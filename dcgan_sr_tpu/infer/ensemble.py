@@ -11,10 +11,11 @@ converged no-BN `gray` generator is already symmetric and gains nothing.
 
 TPU notes: every member is the SAME conv program on a transformed tensor, so
 XLA compiles one generator and the 4/8 members batch through the MXU back to
-back; rot90/flip lower to cheap layout ops. Train-mode BatchNorm statistics
-(mean/var over B,H,W) are invariant under flips and rotations, so ensemble
-members see exactly the normalization the lone forward would — the wrapper
-composes with the reference's batch-stats inference parity (tiled.py).
+back; rot90/flip lower to cheap layout ops. Under train-mode BatchNorm each
+member normalizes with its own batch's statistics — the exact rule the
+reference's batch-stats inference applies to any forward (tiled.py) — and
+the INPUT's per-channel moments are transform-invariant, so the wrapper
+composes with both BN inference modes.
 """
 
 from __future__ import annotations
