@@ -125,7 +125,13 @@ def main():
                          "record always benches the parity pipeline)")
     args = ap.parse_args()
     if args.self_ensemble != 1:
-        mps = measure_tpu(self_ensemble=args.self_ensemble)
+        # The batched ensemble multiplies the tile batch by N; shrink the
+        # per-dispatch image count to keep the fused program inside HBM
+        # (64 imgs x 225 tiles x 8 members OOMs a 16G v5e). MP/s is
+        # per-image-normalized, so the smaller dispatch only slightly
+        # understates throughput.
+        mps = measure_tpu(n_images=max(8, N_IMAGES // args.self_ensemble),
+                          self_ensemble=args.self_ensemble)
         print(json.dumps({
             "metric": f"overlap_sr_upscaled_mp_per_sec_tta{args.self_ensemble}",
             "value": round(mps, 3), "unit": "MP/s"}))
