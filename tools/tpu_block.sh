@@ -11,9 +11,13 @@
 #   tools/tpu_block.sh run <logfile> <cmd...>
 #       Run one TPU job under the watchdog, then cool down.
 #   tools/tpu_block.sh r4queue
-#       The round-4 queue from CLAUDE.md (gray extension, gray-patch
-#       extension, overlap attribution, bench confirmation), in order,
-#       stopping on first unrecoverable wedge.
+#       The round-4 queue from CLAUDE.md: early bench confirmation, the
+#       rgb-full long rerun WITH the full recipe (the round-3 800-epoch run
+#       was invalid — its queue command omitted --pixel-loss 1000), the
+#       gray-patch-batch 100->250 extension (the only variant never
+#       extended), npz-integrity checks after each training job (a kill
+#       mid-epoch TRUNCATES the in-flight save — round-3 lesson), then
+#       TPU-side checkpoint selections. Stops on first unrecoverable wedge.
 #
 # Watchdog: if the log grows nothing for SILENT_S seconds the job is killed
 # by PID (never by pattern), the tunnel cools down COOLDOWN_S, and the job is
@@ -90,26 +94,90 @@ run() {
     return $rc
 }
 
+# check_last_epoch <ckpt_dir> — a kill mid-epoch truncates the in-flight
+# np.savez (round 3: ep245 net_D was a BadZipFile and crashed the ranker).
+# Validate the newest epoch's G/D pair; delete the pair if either is torn.
+check_last_epoch() {
+    python - "$1" <<'EOF'
+import os, sys, re
+import numpy as np
+d = sys.argv[1]
+eps = sorted({int(m.group(1)) for f in os.listdir(d)
+              for m in [re.search(r"_(\d+)_net_[GD]\.npz$", f)] if m})
+if not eps:
+    sys.exit(0)
+ep = eps[-1]
+pair = [os.path.join(d, f"dcgan-sr-tpu_{ep}_net_{x}.npz") for x in "GD"]
+try:
+    for p in pair:
+        with np.load(p) as z:
+            for k in z.files:
+                z[k]
+    print(f"[tpu_block] {d} last epoch {ep}: intact")
+except Exception as e:
+    print(f"[tpu_block] {d} epoch {ep} TORN ({e!r}); deleting the pair")
+    for p in pair:
+        if os.path.exists(p):
+            os.remove(p)
+EOF
+}
+
+# newest epoch number in a checkpoint dir (empty if none)
+last_epoch() {
+    ls "$1" 2>/dev/null | grep -oE '_[0-9]+_net_G' | grep -oE '[0-9]+' \
+        | sort -n | tail -1
+}
+
 r4queue() {
     probe || return 2
     sleep "$COOLDOWN_S"
-    # (gray extension dropped: the end-of-round-3 CPU ranking sweep showed
-    # the raw curve asymptoting at ~28.845 train-slice by epoch 84, rising
-    # ~0.001 dB/epoch — 150 more epochs buys ~nothing. See CLAUDE.md.)
-    # 2. gray-patch extension (oscillating; rank with select_checkpoint
-    #    after). Flags MUST match the original checkpoints_gp run (default
-    #    steps/epoch, scan 50, eval-sets 5); ~29.6 s/epoch -> 90->250 is
-    #    ~80 min.
-    run /tmp/gp_ext.log python train.py --config gray-patch --textured \
-        --epochs 250 --scan 50 --pixel-loss 1000 --g-ema 0.999 --seed 42 \
-        --eval --eval-sets 5 --checkpoint-dir checkpoints_gp \
-        --log-every 500 --resume || return $?
-    # 3. overlap-inference attribution on real hardware
-    run /tmp/attr_overlap.log python tools/attr_overlap.py || return $?
-    # 4. confirm both north-star bench lines on a healthy tunnel, then stop
+    # 1. confirm both north-star bench lines early, while the tunnel is
+    #    known-good (round-3 end saw a jammed tunnel eat the driver bench)
     run /tmp/bench_confirm.log python bench.py || return $?
-    echo "[tpu_block] r4queue complete. Selection/scoring runs are" \
-         "CPU-pinned: tools/select_checkpoint.py --dir <ckpts> --cpu"
+    # 2. rgb-full long rerun WITH the correct recipe (round-3's 800-epoch
+    #    run omitted --pixel-loss 1000 and was invalid: 22.0 dB train-slice
+    #    at ep244 vs 24.19 at ep1 with px). FRESH dir — checkpoints_rgb
+    #    holds the invalid no-px branches and must not be resumed into.
+    #    Curve is monotone ~+0.85 dB/octave; fixture is 210 ep, so 400 ep
+    #    projects ~+0.8 dB. ~2.4-5 s/epoch warm on a good tunnel.
+    run /tmp/rgb_ext.log python train.py --config rgb-full --textured \
+        --epochs 400 --scan 10 --pixel-loss 1000 --g-ema 0.999 --seed 42 \
+        --eval --eval-sets 5 --checkpoint-dir checkpoints_rgb2 \
+        --log-every 500 --resume
+    check_last_epoch checkpoints_rgb2
+    # 3. gray-patch-batch extension 100->250 (the ONLY variant never
+    #    extended; fixture ep63/100, oscillating scheme). Same recipe as
+    #    the round-2 fixture run (textured, px1000, seed 42); EMA shadow is
+    #    passive (does not perturb the raw branch), ranked alongside.
+    run /tmp/gpb_ext.log python train.py --config gray-patch-batch \
+        --textured --epochs 250 --scan 50 --pixel-loss 1000 --g-ema 0.999 \
+        --seed 42 --eval --eval-sets 5 --checkpoint-dir checkpoints_gpb \
+        --log-every 500 --resume
+    check_last_epoch checkpoints_gpb
+    # 4. selections ON THE TPU (CPU ranking is ~10 min/epoch — don't).
+    #    rgb: monotone curve, rank the tail 12 epochs only, raw + EMA.
+    local rgb_ep
+    rgb_ep=$(last_epoch checkpoints_rgb2)
+    if [ -n "$rgb_ep" ]; then
+        local lo=$((rgb_ep > 11 ? rgb_ep - 11 : 1))
+        run /tmp/sel_rgb2_raw.log python tools/select_checkpoint.py \
+            --dir checkpoints_rgb2 --config rgb-full \
+            --epochs "$lo:$((rgb_ep + 1))" --select-sets 3 --full
+        run /tmp/sel_rgb2_ema.log python tools/select_checkpoint.py \
+            --dir checkpoints_rgb2 --config rgb-full \
+            --epochs "$lo:$((rgb_ep + 1))" --select-sets 3 --full --ema
+    fi
+    #    gpb: oscillating — rank ALL epochs, raw + EMA.
+    run /tmp/sel_gpb_raw.log python tools/select_checkpoint.py \
+        --dir checkpoints_gpb --config gray-patch-batch --select-sets 3 --full
+    run /tmp/sel_gpb_ema.log python tools/select_checkpoint.py \
+        --dir checkpoints_gpb --config gray-patch-batch --select-sets 3 \
+        --full --ema
+    echo "[tpu_block] r4queue complete — leave the tunnel QUIET now." \
+         "Winners beat the fixtures? Promote via tools/export_fixture.py," \
+         "score held-out via the eval harness, update PARITY.md."
+    # DO NOT re-extend gray-3/gray/gray-2/overlap: measured converged or
+    # peaked (PARITY.md round-3 extension sweep).
 }
 
 case "${1:-}" in
