@@ -102,12 +102,19 @@ check_last_epoch() {
 import os, sys, re
 import numpy as np
 d = sys.argv[1]
-eps = sorted({int(m.group(1)) for f in os.listdir(d)
-              for m in [re.search(r"_(\d+)_net_[GD]\.npz$", f)] if m})
-if not eps:
+# Derive the run-name prefix from the files themselves: the checkpoint
+# basename is <cfg.name>_<epoch>_net_<G|D>.npz and cfg.name varies per run
+# (e.g. dcgan-sr-test-1) — a hardcoded prefix would never match, so a torn
+# pair would be reported but not deleted.
+found = {}
+for f in os.listdir(d):
+    m = re.match(r"(.+)_(\d+)_net_[GD]\.npz$", f)
+    if m:
+        found[int(m.group(2))] = m.group(1)
+if not found:
     sys.exit(0)
-ep = eps[-1]
-pair = [os.path.join(d, f"dcgan-sr-tpu_{ep}_net_{x}.npz") for x in "GD"]
+ep = max(found)
+pair = [os.path.join(d, f"{found[ep]}_{ep}_net_{x}.npz") for x in "GD"]
 try:
     for p in pair:
         with np.load(p) as z:
