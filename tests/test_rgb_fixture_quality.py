@@ -1,7 +1,8 @@
-"""The committed rgb-full fixture (effective epoch 210, raw branch, last
-epoch of a strictly-monotone run — no selection) beats bilinear on a held-out
-set — the best-scoring variant (+5.23 dB over the full slice, PARITY.md).
-Exercises the multi-channel + pm1 eval path."""
+"""The committed rgb-full fixture (epoch 400, EMA branch promoted into
+`params`, tail-ranked on the train slice) beats bilinear on a held-out set —
+the best-scoring variant (+6.27 dB over the full test slice; 34.814 dB /
++6.36 on this held-out regression set, PARITY.md). Exercises the
+multi-channel + pm1 eval path."""
 
 import os
 
