@@ -69,7 +69,8 @@ def measure_torch_cpu(n_images=4):
     return n_images * 64 * 64 / 1e6 / dt  # upscaled MP/s
 
 
-def measure_tpu(n_images=N_IMAGES, reps=3, self_ensemble=1, scan_steps=20):
+def measure_tpu(n_images=N_IMAGES, reps=3, self_ensemble=1, scan_steps=20,
+                ensemble_batched=False):
     """Sustained MP/s of the on-device overlap pipeline.
 
     The measured body is `scan_steps` pipeline invocations inside ONE jitted
@@ -89,7 +90,8 @@ def measure_tpu(n_images=N_IMAGES, reps=3, self_ensemble=1, scan_steps=20):
     cfg = get_config("gray-patch-batch-overlap", env_override=False)
     st = init_train_state(cfg, jax.random.PRNGKey(0))
     run = make_overlap_sr_fn(cfg, compute_dtype=jnp.bfloat16,
-                             self_ensemble=self_ensemble)
+                             self_ensemble=self_ensemble,
+                             ensemble_batched=ensemble_batched)
 
     @jax.jit
     def scanned(params, state, batches):
@@ -141,6 +143,10 @@ def main():
                     help="measure the dihedral-averaged pipeline's MP/s "
                          "instead (quality surplus costing; the driver "
                          "record always benches the parity pipeline)")
+    ap.add_argument("--ensemble-batched", action="store_true",
+                    help="run the N ensemble members as ONE (N*T)-tile "
+                         "generator dispatch (infer/ensemble.py batched "
+                         "form) instead of N sequential dispatches")
     args = ap.parse_args()
     if args.self_ensemble != 1:
         # The batched ensemble multiplies the tile batch by N; shrink the
@@ -149,9 +155,12 @@ def main():
         # per-image-normalized, so the smaller dispatch only slightly
         # understates throughput.
         mps = measure_tpu(n_images=max(8, N_IMAGES // args.self_ensemble),
-                          self_ensemble=args.self_ensemble)
+                          self_ensemble=args.self_ensemble,
+                          ensemble_batched=args.ensemble_batched)
+        form = "_batched" if args.ensemble_batched else ""
         print(json.dumps({
-            "metric": f"overlap_sr_upscaled_mp_per_sec_tta{args.self_ensemble}",
+            "metric": "overlap_sr_upscaled_mp_per_sec_"
+                      f"tta{args.self_ensemble}{form}",
             "value": round(mps, 3), "unit": "MP/s"}))
     else:
         print(json.dumps(overlap_record()))

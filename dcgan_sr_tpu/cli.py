@@ -137,41 +137,78 @@ def build_data(cfg, args):
     return src, batch_fn
 
 
-def dump_samples(cfg, state, out_dir, sample_hw):
-    """End-of-run PNG dumps through toDisplayTensor semantics (train.lua:306-326)."""
+def dump_samples(cfg, state, out_dir, sample):
+    """End-of-run PNG dumps through toDisplayTensor semantics (train.lua:306-326).
+
+    `sample`: ONE image in the LOADER range [0,1] — (H, W), (1, H, W), or
+    (C, H, W).  Range/channel conventions mirror the eval harness
+    (evaluation/harness.py): a 3-channel sample is gray-converted when
+    cfg.nc == 1 (the trainHook's rgb2gray), the generator is driven in its
+    TRAINING range (pm1 variants get the trainHook's mul(2):add(-1),
+    donkey_folder.lua:69), and outputs are mapped back to [0,1] so the
+    printed PSNR/SSIM are comparable across variants.
+    """
     os.makedirs(out_dir, exist_ok=True)
     gen = make_generator_fn(cfg)
-    hr = jnp.asarray(sample_hw)
-    save_display(os.path.join(out_dir, "real_none_sample.png"), np.asarray(hr))
-    lr = box_downsample2(hr)
-    save_display(os.path.join(out_dir, "real_reduced_sample.png"), np.asarray(lr))
+    hr01 = jnp.asarray(sample, jnp.float32)
+    if hr01.ndim == 3 and cfg.nc == 1:
+        if hr01.shape[0] == 3:
+            hr01 = rgb2gray(hr01)          # (3, H, W) -> (H, W)
+        else:
+            hr01 = hr01[0]
+    pm1 = cfg.data_range == "pm1"
+    net_in = hr01 * 2.0 - 1.0 if pm1 else hr01
+    save_display(os.path.join(out_dir, "real_none_sample.png"), np.asarray(hr01))
+    lr = box_downsample2(net_in)
+    save_display(os.path.join(out_dir, "real_reduced_sample.png"),
+                 np.asarray((lr + 1.0) * 0.5 if pm1 else lr))
     bil = resize_bilinear(lr, cfg.fineSize, cfg.fineSize)
-    save_display(os.path.join(out_dir, "real_bilinear_sample.png"), np.asarray(bil))
     if cfg.variant == "gray-patch-batch-overlap":
-        res = sr_overlap_image(cfg, gen, state.g_params, state.g_state, hr)
+        res = sr_overlap_image(cfg, gen, state.g_params, state.g_state, net_in)
+        naive, fake = res["naive"], res["seam"]
+        if pm1:
+            naive = (naive + 1.0) * 0.5
         save_display(os.path.join(out_dir, "fake_none_sample.png"),
-                     np.asarray(res["naive"]))
-        save_display(os.path.join(out_dir, "fake_none_overlap_sample.png"),
-                     np.asarray(res["seam"]))
-        fake = res["seam"]
+                     np.asarray(naive))
+        fake_name = "fake_none_overlap_sample.png"
     elif cfg.patch_based:
         from .infer.tiled import sr_grid_patches
-        fake = sr_grid_patches(cfg, gen, state.g_params, state.g_state, hr)
-        save_display(os.path.join(out_dir, "fake_none_sample.png"), np.asarray(fake))
+        fake = sr_grid_patches(cfg, gen, state.g_params, state.g_state, net_in)
+        fake_name = "fake_none_sample.png"
     else:
-        fake, _ = sr_full_image(cfg, gen, state.g_params, state.g_state, hr)
-        save_display(os.path.join(out_dir, "fake_none_sample.png"), np.asarray(fake))
+        # multi-channel configs (rgb-full) feed (1, C, h, w); single-channel
+        # reuse the (H, W) helper
+        if net_in.ndim == 3:
+            fake = gen(state.g_params, state.g_state,
+                       box_downsample2(net_in)[None])[0]
+        else:
+            fake, _ = sr_full_image(cfg, gen, state.g_params, state.g_state,
+                                    net_in)
+        fake_name = "fake_none_sample.png"
+    if pm1:
+        bil = (bil + 1.0) * 0.5
+        fake = (fake + 1.0) * 0.5
+    save_display(os.path.join(out_dir, "real_bilinear_sample.png"),
+                 np.asarray(bil))
+    save_display(os.path.join(out_dir, fake_name), np.asarray(fake))
+
+    def channel_mean(metric, a, b):
+        if a.ndim == 2:
+            return float(metric(a, b))
+        return float(np.mean([float(metric(a[c], b[c]))
+                              for c in range(a.shape[0])]))
+
     from .utils.stats import print_tensor_stats
-    print_tensor_stats("real_none_sample", np.asarray(hr))
+    print_tensor_stats("real_none_sample", np.asarray(hr01))
     print_tensor_stats("fake_none_sample", np.asarray(fake))
-    print("PSNR btwn real & bilinear: %.4f" % float(cal_psnr(hr, bil)))
-    print("PSNR btwn real & fake: %.4f" % float(cal_psnr(hr, fake)))
-    print("SSIM btwn real & bilinear: %.4f" % float(cal_ssim(hr, bil)))
-    print("SSIM btwn real & fake: %.4f" % float(cal_ssim(hr, fake)))
+    print("PSNR btwn real & bilinear: %.4f" % channel_mean(cal_psnr, hr01, bil))
+    print("PSNR btwn real & fake: %.4f" % channel_mean(cal_psnr, hr01, fake))
+    print("SSIM btwn real & bilinear: %.4f" % channel_mean(cal_ssim, hr01, bil))
+    print("SSIM btwn real & fake: %.4f" % channel_mean(cal_ssim, hr01, fake))
     # polarity rescue check (train-gray-patch-batch.lua:673-680)
     if cfg.patch_based:
         from .evaluation import polarity_rescue
-        img, psnr, inverted = polarity_rescue(np.asarray(hr), np.asarray(fake))
+        img, psnr, inverted = polarity_rescue(np.asarray(hr01), np.asarray(fake))
         if inverted:
             save_display(os.path.join(out_dir, "fake_none_sample_reversed.png"),
                          np.asarray(img))
@@ -254,6 +291,11 @@ def main(argv=None):
     if args.cpu:
         from dcgan_sr_tpu.utils.cache import pin_cpu
         pin_cpu(jax)
+    else:
+        # TPU runs reuse the shared .jax_cache (first compiles through the
+        # tunnel are 1-3.5 min per program)
+        from dcgan_sr_tpu.utils.cache import enable_tpu_cache
+        enable_tpu_cache(jax)
 
     overrides = {}
     if args.bf16:
@@ -397,21 +439,31 @@ def main(argv=None):
                                    loader, sets).print_reference_style(tag)
 
     if args.samples_dir:
+        # dump_samples takes ONE image in the LOADER range [0,1], all
+        # channels — it applies the gray/pm1 conventions itself
         if hasattr(loader, "load_one"):
-            sample = loader.load_one(1)[0]
+            sample = loader.load_one(1)
         else:
             batch = batch_fn(1, 0)
             if isinstance(batch, tuple):
                 # device_augment (canvas, tops, lefts, flips): apply the
                 # first image's drawn crop AND flip for the dump, so the
-                # sample is the trainHook output for that draw
+                # sample is the trainHook crop for that draw (raw [0,1];
+                # gray/normalize happen inside dump_samples)
                 canvas, tops, lefts, flips = batch
                 t, l, fs = int(tops[0]), int(lefts[0]), cfg.fineSize
-                sample = canvas[0, 0, t:t + fs, l:l + fs]
+                sample = canvas[0, :, t:t + fs, l:l + fs]
                 if bool(flips[0]):
-                    sample = sample[:, ::-1]
+                    sample = sample[:, :, ::-1]
+            elif cfg.device_preprocess:
+                # raw [0,1] images; gray/normalize run on-device in the step
+                sample = batch[0]
             else:
-                sample = batch[0, 0]
+                # host path: batch is already gray-converted AND in the
+                # training range — map pm1 back to the loader range
+                sample = batch[0]
+                if cfg.data_range == "pm1":
+                    sample = (sample + 1.0) * 0.5
         dump_samples(cfg, state, args.samples_dir, sample)
 
     print("Total time: %.3f" % (time.perf_counter() - t0))

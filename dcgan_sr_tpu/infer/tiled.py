@@ -131,7 +131,8 @@ def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
 
 
 def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
-                       bn_eval=False, both_seams=False, self_ensemble=1):
+                       bn_eval=False, both_seams=False, self_ensemble=1,
+                       ensemble_batched=False):
     """One jitted program: batched overlap SR of (N, H, W) images ->
     dict of stacked naive and seam-stitched outputs.  The whole pipeline —
     tile extraction, per-tile box downsample, the batched generator over
@@ -149,6 +150,9 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
     batch stats (see make_generator_fn).  `self_ensemble=N` averages each
     tile's SR over N dihedral transforms (infer/ensemble.py) before
     stitching — per-image BN batch stats are invariant under the group.
+    `ensemble_batched=True` runs the N members as ONE (N*T)-tile generator
+    dispatch instead of N sequential ones (ensemble.py: exact under
+    bn_eval/no-BN; the pooled-joint-batch variant under train-mode BN).
     """
     from ..models import apply_network, generator_spec
     from .seam_device import seam_stitch_device
@@ -164,7 +168,7 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
 
     if self_ensemble != 1:
         from .ensemble import self_ensemble as wrap
-        gen_tiles = wrap(gen_tiles, self_ensemble)
+        gen_tiles = wrap(gen_tiles, self_ensemble, batched=ensemble_batched)
 
     def one_image(params, state, image):
         tiles = extract_overlap_patches(image, patch, ov)    # (T, p, p)

@@ -46,6 +46,25 @@ def machine_cpu_cache_dir(root=_REPO):
     return os.path.join(root, ".jax_cache_cpu_" + tag)
 
 
+def enable_tpu_cache(jax, min_compile_secs=0.5):
+    """Route the persistent compile cache to the shared `.jax_cache`.
+
+    TPU program cache entries are keyed by the TPU target (not the host), so
+    one repo-local dir is safe to share across machines.  Every ad-hoc TPU
+    entry point should call this right after `import jax`: first compiles
+    through the tunnel cost 1-3.5 min per (config, batch) shape, so an
+    uncached run wastes minutes (tools/tpu_block.sh exports the same dir in
+    the shell for jobs it launches; this covers tools run standalone).
+    An explicitly exported JAX_COMPILATION_CACHE_DIR still wins.
+    """
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+        or os.path.join(_REPO, ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return cache
+
+
 def pin_cpu(jax, min_compile_secs=0.5):
     """Pin jax to CPU and enable the per-machine persistent compile cache.
 

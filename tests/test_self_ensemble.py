@@ -154,3 +154,26 @@ def test_batched_mode_rectangles_use_flip_subgroup():
     x = jnp.asarray(np.random.RandomState(5).rand(2, 1, 4, 6), jnp.float32)
     got = self_ensemble(ident, 8, batched=True)(None, None, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(x), rtol=1e-6)
+
+
+@pytest.mark.slow  # two full 8-member overlap-pipeline compiles on CPU
+def test_overlap_pipeline_batched_ensemble_matches_sequential():
+    # make_overlap_sr_fn(ensemble_batched=True) must reproduce the
+    # sequential per-member pipeline under bn_eval (exact form) — the
+    # one-dispatch mode bench_infer's TTA costing measures.
+    from dcgan_sr_tpu.core import get_config
+    from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
+    from dcgan_sr_tpu.train import init_train_state
+
+    cfg = get_config("gray-patch-batch-overlap", env_override=False, ngf=4)
+    st = init_train_state(cfg, jax.random.PRNGKey(6))
+    imgs = jnp.asarray(np.random.RandomState(7).rand(2, 16, 16), jnp.float32)
+    outs = {}
+    for batched in (False, True):
+        fn = make_overlap_sr_fn(cfg, fine=(16, 16), bn_eval=True,
+                                self_ensemble=8, ensemble_batched=batched)
+        outs[batched] = fn(st.g_params, st.g_state, imgs)
+    for k in ("naive", "seam"):
+        np.testing.assert_allclose(np.asarray(outs[True][k]),
+                                   np.asarray(outs[False][k]),
+                                   rtol=1e-5, atol=1e-5)

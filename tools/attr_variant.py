@@ -33,18 +33,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dcgan_sr_tpu.utils.measure import timed_scan as _timed  # noqa: E402
 
-def _timed(fn, args, reps, k):
-    """Compile, then time reps dispatches of a k-iter scanned program; the
-    return value must be a scalar depending on the full chain (axon tunnel:
-    block_until_ready does not synchronize)."""
-    float(fn(*args))
-    t0 = time.perf_counter()
-    v = 0.0
-    for _ in range(reps):
-        v = fn(*args)
-    float(v)
-    return (time.perf_counter() - t0) / (reps * k)
+
 
 
 def scan_apply(spec, params, bn, xs, *, dtype, grad):
@@ -93,6 +84,11 @@ def main():
     if args.cpu:
         from dcgan_sr_tpu.utils.cache import pin_cpu
         pin_cpu(jax)
+    else:
+        # standalone TPU runs must reuse the shared .jax_cache — first
+        # compiles through the tunnel are 1-3.5 min per program
+        from dcgan_sr_tpu.utils.cache import enable_tpu_cache
+        enable_tpu_cache(jax)
     import jax.numpy as jnp
     from dcgan_sr_tpu.core import get_config
     from dcgan_sr_tpu.models import (discriminator_spec, generator_spec,

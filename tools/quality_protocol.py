@@ -68,6 +68,11 @@ def main(argv=None):
     if args.cpu:
         from dcgan_sr_tpu.utils.cache import pin_cpu
         pin_cpu(jax)
+    else:
+        # TPU runs reuse the shared .jax_cache (first compiles through the
+        # tunnel are 1-3.5 min per program)
+        from dcgan_sr_tpu.utils.cache import enable_tpu_cache
+        enable_tpu_cache(jax)
     import jax.numpy as jnp
 
     from dcgan_sr_tpu.core import get_config

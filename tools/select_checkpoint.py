@@ -50,6 +50,11 @@ def main():
     if args.cpu:
         from dcgan_sr_tpu.utils.cache import pin_cpu
         pin_cpu(jax)
+    else:
+        # TPU runs reuse the shared .jax_cache (first compiles through the
+        # tunnel are 1-3.5 min per program)
+        from dcgan_sr_tpu.utils.cache import enable_tpu_cache
+        enable_tpu_cache(jax)
 
     from dcgan_sr_tpu.core import get_config
     from dcgan_sr_tpu.data.synthetic import TexturedImages

@@ -94,6 +94,30 @@ run() {
     return $rc
 }
 
+# run_train <ckpt_dir> <log> <cmd...> — run() for TRAINING jobs: a watchdog
+# kill truncates the in-flight np.savez, so the torn last-epoch pair must be
+# deleted BEFORE the --resume retry (np.load on the torn npz would crash the
+# retry immediately) and again after the job ends (so later selections never
+# see it).
+run_train() {
+    local ckpt_dir=$1 log=$2; shift 2
+    run_once "$log" "$@"
+    local rc=$?
+    if [ $rc -eq 2 ]; then
+        check_last_epoch "$ckpt_dir"
+        echo "[tpu_block] cooling down ${COOLDOWN_S}s, then retrying once"
+        sleep "$COOLDOWN_S"
+        run_once "$log" "$@"
+        rc=$?
+        [ $rc -eq 2 ] && echo "[tpu_block] wedged twice — tunnel needs" \
+                              "~50 min idle; stopping." >&2
+    fi
+    check_last_epoch "$ckpt_dir"
+    echo "[tpu_block] job done rc=$rc; cooldown ${COOLDOWN_S}s"
+    sleep "$COOLDOWN_S"
+    return $rc
+}
+
 # check_last_epoch <ckpt_dir> — a kill mid-epoch truncates the in-flight
 # np.savez (round 3: ep245 net_D was a BadZipFile and crashed the ranker).
 # Validate the newest epoch's G/D pair; delete the pair if either is torn.
@@ -147,20 +171,20 @@ r4queue() {
     #    holds the invalid no-px branches and must not be resumed into.
     #    Curve is monotone ~+0.85 dB/octave; fixture is 210 ep, so 400 ep
     #    projects ~+0.8 dB. ~2.4-5 s/epoch warm on a good tunnel.
-    run /tmp/rgb_ext.log python train.py --config rgb-full --textured \
+    run_train checkpoints_rgb2 /tmp/rgb_ext.log python train.py \
+        --config rgb-full --textured \
         --epochs 400 --scan 10 --pixel-loss 1000 --g-ema 0.999 --seed 42 \
         --eval --eval-sets 5 --checkpoint-dir checkpoints_rgb2 \
-        --log-every 500 --resume
-    check_last_epoch checkpoints_rgb2
+        --log-every 500 --resume || return $?
     # 3. gray-patch-batch extension 100->250 (the ONLY variant never
     #    extended; fixture ep63/100, oscillating scheme). Same recipe as
     #    the round-2 fixture run (textured, px1000, seed 42); EMA shadow is
     #    passive (does not perturb the raw branch), ranked alongside.
-    run /tmp/gpb_ext.log python train.py --config gray-patch-batch \
+    run_train checkpoints_gpb /tmp/gpb_ext.log python train.py \
+        --config gray-patch-batch \
         --textured --epochs 250 --scan 50 --pixel-loss 1000 --g-ema 0.999 \
         --seed 42 --eval --eval-sets 5 --checkpoint-dir checkpoints_gpb \
-        --log-every 500 --resume
-    check_last_epoch checkpoints_gpb
+        --log-every 500 --resume || return $?
     # 4. selections ON THE TPU (CPU ranking is ~10 min/epoch — don't).
     #    rgb: monotone curve, rank the tail 12 epochs only, raw + EMA.
     local rgb_ep
@@ -169,17 +193,17 @@ r4queue() {
         local lo=$((rgb_ep > 11 ? rgb_ep - 11 : 1))
         run /tmp/sel_rgb2_raw.log python tools/select_checkpoint.py \
             --dir checkpoints_rgb2 --config rgb-full \
-            --epochs "$lo:$((rgb_ep + 1))" --select-sets 3 --full
+            --epochs "$lo:$((rgb_ep + 1))" --select-sets 3 --full || return $?
         run /tmp/sel_rgb2_ema.log python tools/select_checkpoint.py \
             --dir checkpoints_rgb2 --config rgb-full \
-            --epochs "$lo:$((rgb_ep + 1))" --select-sets 3 --full --ema
+            --epochs "$lo:$((rgb_ep + 1))" --select-sets 3 --full --ema || return $?
     fi
     #    gpb: oscillating — rank ALL epochs, raw + EMA.
     run /tmp/sel_gpb_raw.log python tools/select_checkpoint.py \
-        --dir checkpoints_gpb --config gray-patch-batch --select-sets 3 --full
+        --dir checkpoints_gpb --config gray-patch-batch --select-sets 3 --full || return $?
     run /tmp/sel_gpb_ema.log python tools/select_checkpoint.py \
         --dir checkpoints_gpb --config gray-patch-batch --select-sets 3 \
-        --full --ema
+        --full --ema || return $?
     echo "[tpu_block] r4queue complete — leave the tunnel QUIET now." \
          "Winners beat the fixtures? Promote via tools/export_fixture.py," \
          "score held-out via the eval harness, update PARITY.md."
