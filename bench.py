@@ -115,6 +115,11 @@ def measure_tpu(variant, k=STEPS, reps=3):
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    from dcgan_sr_tpu.utils.cache import enable_tpu_cache
+    enable_tpu_cache(jax)  # driver runs bench.py directly, without the
+    #                        tpu_block shell export; tunnel compiles are
+    #                        1-3.5 min per program without the cache
     from dcgan_sr_tpu.core import get_config
     from dcgan_sr_tpu.train import init_train_state
     from dcgan_sr_tpu.train.multi_step import jit_multi_step

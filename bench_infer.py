@@ -83,6 +83,11 @@ def measure_tpu(n_images=N_IMAGES, reps=3, self_ensemble=1, scan_steps=20,
     import jax
     import jax.numpy as jnp
 
+    from dcgan_sr_tpu.utils.cache import enable_tpu_cache
+    enable_tpu_cache(jax)  # driver runs bench.py directly, without the
+    #                        tpu_block shell export; tunnel compiles are
+    #                        1-3.5 min per program without the cache
+
     from dcgan_sr_tpu.core import get_config
     from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
     from dcgan_sr_tpu.train import init_train_state
