@@ -275,6 +275,11 @@ def main(argv=None):
                          "N dihedral transforms of the input "
                          "(infer/ensemble.py; surplus over the reference — "
                          "measured +1.26 dB on the gray-3 fixture at 8)")
+    ap.add_argument("--ensemble-batched", action="store_true",
+                    help="run the N ensemble members as ONE (N*B)-batch "
+                         "generator dispatch instead of N sequential ones "
+                         "(exact under running-stats BN; pooled-BN-stats "
+                         "variant in train mode — infer/ensemble.py)")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (the TPU plugin ignores "
@@ -403,7 +408,8 @@ def main(argv=None):
             # (train-gray-patch-batch-overlap.lua:423-424,453-454,703-704)
             from .evaluation import evaluate_overlap_slice
             from .infer.tiled import make_overlap_sr_fn
-            sr = make_overlap_sr_fn(cfg, self_ensemble=args.self_ensemble)
+            sr = make_overlap_sr_fn(cfg, self_ensemble=args.self_ensemble,
+                                    ensemble_batched=args.ensemble_batched)
             evaluate_overlap_slice(
                 cfg, state.g_params, state.g_state, loader,
                 range(args.eval_sets), sr_fn=sr,
@@ -418,7 +424,8 @@ def main(argv=None):
                     range(10000, 10000 + args.eval_sets), sr_fn=sr,
                 ).print_reference_style("Test-set-EMA")
         else:
-            gen = make_generator_fn(cfg, self_ensemble=args.self_ensemble)
+            gen = make_generator_fn(cfg, self_ensemble=args.self_ensemble,
+                                    ensemble_batched=args.ensemble_batched)
             train_res = evaluate_slice(cfg, gen, state.g_params, state.g_state,
                                        loader, range(args.eval_sets))
             train_res.print_reference_style("Train-set")

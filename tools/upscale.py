@@ -79,7 +79,8 @@ def batch_upscale(args, cfg, g_params, g_state):
     fn = make_overlap_sr_fn(cfg, mesh=mesh, fine=(Hp, Wp),
                             bn_eval=args.bn_eval,
                             both_seams=args.both_seams,
-                            self_ensemble=args.self_ensemble)
+                            self_ensemble=args.self_ensemble,
+                            ensemble_batched=args.ensemble_batched)
     t0 = time.perf_counter()
     out = fn(g_params, g_state, jnp.asarray(batch))
     seam = np.asarray(out["seam"])[:n]
@@ -137,6 +138,12 @@ def main(argv=None):
                          "(all modes; per-tile in grid/overlap — "
                          "infer/ensemble.py; measured +1.26 dB on the "
                          "gray-3 fixture at 8)")
+    ap.add_argument("--ensemble-batched", action="store_true",
+                    help="run the N ensemble members as ONE (N*B)-batch "
+                         "generator dispatch — the right schedule for this "
+                         "one-shot tool (no scan amortizes per-dispatch "
+                         "overhead); exact with --bn-eval, pooled-BN-stats "
+                         "variant in train mode (infer/ensemble.py)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -199,7 +206,8 @@ def main(argv=None):
     hw = img[0] if cfg.nc == 1 else img
     H, W = hw.shape[-2], hw.shape[-1]
     gen = make_generator_fn(cfg, bn_eval=args.bn_eval,
-                            self_ensemble=args.self_ensemble)
+                            self_ensemble=args.self_ensemble,
+                            ensemble_batched=args.ensemble_batched)
 
     mode = args.mode
     if mode == "auto":
