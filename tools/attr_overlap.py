@@ -127,15 +127,21 @@ def main():
             results[stage + "_ms"] - results[prev + "_ms"], 3)
         prev = stage
 
-    # roofline: HBM bytes of the full per-dispatch program
+    # roofline: HBM bytes of the full per-dispatch program.  Lower ONE
+    # dispatch (no scan): XLA's cost_analysis counts a lax.scan body once,
+    # NOT times the trip count, so analysing the scanned program and dividing
+    # by k under-reports by k (the round-3 attr numbers had this bug).
     try:
-        ca = stage_fns["seam"].lower(xs).compile().cost_analysis()
+        def one_dispatch(imgs):
+            return jax.vmap(lambda im: one_image("seam", im))(imgs).sum()
+
+        ca = jax.jit(one_dispatch).lower(xs[0]).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         results["bytes_accessed_per_step_gb"] = round(
-            ca.get("bytes accessed", 0.0) / k / 1e9, 3)
+            ca.get("bytes accessed", 0.0) / 1e9, 3)
         results["flops_per_step_g"] = round(
-            ca.get("flops", 0.0) / k / 1e9, 2)
+            ca.get("flops", 0.0) / 1e9, 2)
     except Exception as e:  # cost analysis is best-effort over the tunnel
         results["cost_analysis_error"] = str(e)[:120]
 
