@@ -7,10 +7,15 @@ reference's CPU throughput, for the flagship shapes:
   gray-patch-batch 1,280-patch effective batch of 8x8 (patch-batch geometry)
 
 The reference publishes no numbers (BASELINE.md); the north-star target is
->10x its CPU images/sec.  Each baseline is a faithful torch-CPU re-enactment
-of the reference's per-step work (fDx: D fwd/bwd real, box downsample, G fwd,
+>10x its CPU images/sec.  Each baseline is a torch-CPU re-enactment of the
+reference's per-step work (fDx: D fwd/bwd real, box downsample, G fwd,
 D fwd/bwd fake; fGx: backprop through D into G; two Adam updates —
-train-gray-3.lua:229-328), measured once and cached in BASELINE_MEASURED.json.
+train-gray-3.lua:229-328) with each variant's OWN label scheme, including
+rgb-full's per-image quarter-MSE fake targets (train.lua:237-245).  The
+baseline is vectorized torch (the reference's Lua per-pixel downsample and
+per-image label loops are replaced by tensor ops), so it is GENEROUS to the
+reference and vs_baseline is conservative.  Measured once and cached in
+BASELINE_MEASURED.json.
 
 Prints one JSON line per config; the FLAGSHIP (gray-3) line is LAST:
   {"metric": "train_images_per_sec", "value": N, "unit": "images/sec",
@@ -62,23 +67,34 @@ def measure_torch_cpu_baseline(variant, steps=3):
     rng = np.random.RandomState(0)
     b, _, h, w = shape
 
+    def fake_labels(hr, fake):
+        # the reference computes D's fake targets per image on the host
+        # (train.lua:237-245 quarter-MSE, train-gray.lua:258-265 H*W-MSE);
+        # constants otherwise (train-gray-3.lua label:fill)
+        if cfg.fake_label == "per_image_quarter_mse":
+            return (hr - fake).pow(2).reshape(b, -1).sum(1) / (
+                4 * shape[1] * h * w)
+        if cfg.fake_label == "per_image_mse":
+            return (hr - fake).pow(2).reshape(b, -1).sum(1) / (h * w)
+        return torch.full((b,), float(cfg.fake_label))
+
     def one_step():
         hr = torch.from_numpy(rng.rand(*shape).astype("float32"))
         if cfg.data_range == "pm1":
             hr = hr * 2 - 1
         optD.zero_grad()
         out_real = netD(hr)
-        err_real = crit(out_real, torch.ones(b))
+        err_real = crit(out_real, torch.full((b,), float(cfg.real_label)))
         err_real.backward()
         lr_img = hr.reshape(b, shape[1], h // 2, 2, w // 2, 2).mean(dim=(3, 5))
         fake = netG(lr_img)
         out_fake = netD(fake.detach())
-        err_fake = crit(out_fake, torch.zeros(b))
+        err_fake = crit(out_fake, fake_labels(hr, fake.detach()))
         err_fake.backward()
         optD.step()
         optG.zero_grad()
         out_fake2 = netD(fake)
-        err_g = crit(out_fake2, torch.ones(b))
+        err_g = crit(out_fake2, torch.full((b,), float(cfg.g_label)))
         err_g.backward()
         optG.step()
 
@@ -136,13 +152,16 @@ def measure_tpu(variant, k=STEPS, reps=3):
     state, m = mstep(state, super_batch)  # compile
     float(m["errG"][-1])
     # NB: block_until_ready does not synchronize through the axon tunnel;
-    # fetching a value that depends on the whole step chain does.
-    t0 = time.perf_counter()
+    # fetching a value that depends on the whole step chain does.  Each rep
+    # is timed separately (chain fetch per rep, ~2-3 ms on a ~400 ms body)
+    # so the JSON line can carry the run-to-run spread.
+    rep_ips = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         state, m = mstep(state, super_batch)
-    float(m["errG"][-1])  # chain-dependent host fetch forces full execution
-    dt = (time.perf_counter() - t0) / (reps * k)
-    return imgs / dt
+        float(m["errG"][-1])  # chain-dependent fetch forces full execution
+        rep_ips.append(imgs * k / (time.perf_counter() - t0))
+    return rep_ips
 
 
 def measure_overlap_inference():
@@ -158,13 +177,18 @@ def main():
     baselines = get_baselines()
     lines = [measure_overlap_inference()]
     for variant in ("rgb-full", "gray-patch-batch", "gray-3"):  # flagship last
-        ips = measure_tpu(variant)
+        reps = sorted(measure_tpu(variant))
+        ips = reps[len(reps) // 2]  # median rep: robust to host noise
         suffix = "" if variant == "gray-3" else "_" + variant.replace("-", "_")
         lines.append({
             "metric": f"train_images_per_sec{suffix}",
             "value": round(ips, 1),
             "unit": "images/sec",
             "vs_baseline": round(ips / baselines[variant], 2),
+            # min/median/max over the reps — distinguishes host noise from a
+            # real regression when rounds land on different machines
+            "rep_spread": [round(reps[0], 1), round(ips, 1),
+                           round(reps[-1], 1)],
         })
     for rec in lines:
         print(json.dumps(rec))

@@ -111,12 +111,14 @@ def measure_tpu(n_images=N_IMAGES, reps=3, self_ensemble=1, scan_steps=20,
         np.random.RandomState(0).rand(scan_steps, n_images, 64, 64),
         jnp.float32))
     float(scanned(st.g_params, st.g_state, batches))  # compile + sync
-    t0 = time.perf_counter()
+    rep_mps = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         acc = scanned(st.g_params, st.g_state, batches)
-    float(acc)  # chain-dependent host fetch forces full execution
-    dt = (time.perf_counter() - t0) / (reps * scan_steps)
-    return n_images * 64 * 64 / 1e6 / dt
+        float(acc)  # chain-dependent host fetch forces full execution
+        dt = (time.perf_counter() - t0) / scan_steps
+        rep_mps.append(n_images * 64 * 64 / 1e6 / dt)
+    return rep_mps
 
 
 def overlap_record():
@@ -131,12 +133,14 @@ def overlap_record():
         data["torch_cpu_overlap_mp_per_sec"] = measure_torch_cpu()
         with open(BASELINE_FILE, "w") as f:
             json.dump(data, f, indent=1)
-    mps = measure_tpu()
+    reps = sorted(measure_tpu())
+    mps = reps[len(reps) // 2]  # median rep: robust to host noise
     return {
         "metric": "overlap_sr_upscaled_mp_per_sec",
         "value": round(mps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mps / data["torch_cpu_overlap_mp_per_sec"], 2),
+        "rep_spread": [round(reps[0], 3), round(mps, 3), round(reps[-1], 3)],
     }
 
 
@@ -159,9 +163,11 @@ def main():
         # (64 imgs x 225 tiles x 8 members OOMs a 16G v5e). MP/s is
         # per-image-normalized, so the smaller dispatch only slightly
         # understates throughput.
-        mps = measure_tpu(n_images=max(8, N_IMAGES // args.self_ensemble),
-                          self_ensemble=args.self_ensemble,
-                          ensemble_batched=args.ensemble_batched)
+        reps = sorted(measure_tpu(
+            n_images=max(8, N_IMAGES // args.self_ensemble),
+            self_ensemble=args.self_ensemble,
+            ensemble_batched=args.ensemble_batched))
+        mps = reps[len(reps) // 2]
         form = "_batched" if args.ensemble_batched else ""
         print(json.dumps({
             "metric": "overlap_sr_upscaled_mp_per_sec_"

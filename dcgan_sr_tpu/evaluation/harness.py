@@ -219,7 +219,8 @@ def evaluate_slice(cfg, gen_fn, params, state, loader, file_sets, *,
     for fs in file_sets:
         hr = jnp.asarray(loader.load_batch(fs, batch_size))  # (B, nc, H, W)
         tot += np.asarray(run(params, state, hr))
-        n += batch_size
+        n += int(hr.shape[0])  # actual rows: a short final batch must not
+        #                        skew the slice means
     return EvalResult(psnr_bilinear=tot[0] / n, psnr_generator=tot[1] / n,
                       ssim_bilinear=tot[2] / n, ssim_generator=tot[3] / n,
                       n_images=n)
