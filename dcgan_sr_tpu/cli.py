@@ -143,38 +143,52 @@ def dump_samples(cfg, state, out_dir, sample):
     `sample`: ONE image in the LOADER range [0,1] — (H, W), (1, H, W), or
     (C, H, W).  Range/channel conventions mirror the eval harness
     (evaluation/harness.py): a 3-channel sample is gray-converted when
-    cfg.nc == 1 (the trainHook's rgb2gray), the generator is driven in its
-    TRAINING range (pm1 variants get the trainHook's mul(2):add(-1),
-    donkey_folder.lua:69), and outputs are mapped back to [0,1] so the
-    printed PSNR/SSIM are comparable across variants.
+    cfg.nc == 1 (the trainHook's rgb2gray) — the pre-conversion COLOR image
+    is also saved, like testSample's real_none_color_sample.png
+    (train-gray.lua:326) — the generator is driven in its TRAINING range
+    (pm1 variants get the trainHook's mul(2):add(-1), donkey_folder.lua:69),
+    and outputs are mapped back to [0,1] so the printed PSNR/SSIM are
+    comparable across variants.  Every saved PNG gets the reference's
+    max/min/sum/std stats lines (train-gray.lua:334-380), computed on the
+    [0,1]-mapped tensor that is saved.
     """
+    from .utils.stats import print_tensor_stats
+
     os.makedirs(out_dir, exist_ok=True)
+
+    def _dump(name, arr):
+        # save + the reference's per-tensor stats lines, named by file stem
+        arr = np.asarray(arr)
+        save_display(os.path.join(out_dir, name + ".png"), arr)
+        print_tensor_stats(name, arr)
+
     gen = make_generator_fn(cfg)
     hr01 = jnp.asarray(sample, jnp.float32)
     if hr01.ndim == 3 and cfg.nc == 1:
         if hr01.shape[0] == 3:
+            # testSample saves the pre-rgb2gray color image first
+            # (train-gray.lua:326)
+            _dump("real_none_color_sample", hr01)
             hr01 = rgb2gray(hr01)          # (3, H, W) -> (H, W)
         else:
             hr01 = hr01[0]
     pm1 = cfg.data_range == "pm1"
     net_in = hr01 * 2.0 - 1.0 if pm1 else hr01
-    save_display(os.path.join(out_dir, "real_none_sample.png"), np.asarray(hr01))
+    _dump("real_none_sample", hr01)
     lr = box_downsample2(net_in)
-    save_display(os.path.join(out_dir, "real_reduced_sample.png"),
-                 np.asarray((lr + 1.0) * 0.5 if pm1 else lr))
+    _dump("real_reduced_sample", (lr + 1.0) * 0.5 if pm1 else lr)
     bil = resize_bilinear(lr, cfg.fineSize, cfg.fineSize)
     if cfg.variant == "gray-patch-batch-overlap":
         res = sr_overlap_image(cfg, gen, state.g_params, state.g_state, net_in)
         naive, fake = res["naive"], res["seam"]
         if pm1:
             naive = (naive + 1.0) * 0.5
-        save_display(os.path.join(out_dir, "fake_none_sample.png"),
-                     np.asarray(naive))
-        fake_name = "fake_none_overlap_sample.png"
+        _dump("fake_none_sample", naive)
+        fake_name = "fake_none_overlap_sample"
     elif cfg.patch_based:
         from .infer.tiled import sr_grid_patches
         fake = sr_grid_patches(cfg, gen, state.g_params, state.g_state, net_in)
-        fake_name = "fake_none_sample.png"
+        fake_name = "fake_none_sample"
     else:
         # multi-channel configs (rgb-full) feed (1, C, h, w); single-channel
         # reuse the (H, W) helper
@@ -184,13 +198,12 @@ def dump_samples(cfg, state, out_dir, sample):
         else:
             fake, _ = sr_full_image(cfg, gen, state.g_params, state.g_state,
                                     net_in)
-        fake_name = "fake_none_sample.png"
+        fake_name = "fake_none_sample"
     if pm1:
         bil = (bil + 1.0) * 0.5
         fake = (fake + 1.0) * 0.5
-    save_display(os.path.join(out_dir, "real_bilinear_sample.png"),
-                 np.asarray(bil))
-    save_display(os.path.join(out_dir, fake_name), np.asarray(fake))
+    _dump("real_bilinear_sample", bil)
+    _dump(fake_name, fake)
 
     def channel_mean(metric, a, b):
         if a.ndim == 2:
@@ -198,9 +211,6 @@ def dump_samples(cfg, state, out_dir, sample):
         return float(np.mean([float(metric(a[c], b[c]))
                               for c in range(a.shape[0])]))
 
-    from .utils.stats import print_tensor_stats
-    print_tensor_stats("real_none_sample", np.asarray(hr01))
-    print_tensor_stats("fake_none_sample", np.asarray(fake))
     print("PSNR btwn real & bilinear: %.4f" % channel_mean(cal_psnr, hr01, bil))
     print("PSNR btwn real & fake: %.4f" % channel_mean(cal_psnr, hr01, fake))
     print("SSIM btwn real & bilinear: %.4f" % channel_mean(cal_ssim, hr01, bil))
@@ -210,8 +220,7 @@ def dump_samples(cfg, state, out_dir, sample):
         from .evaluation import polarity_rescue
         img, psnr, inverted = polarity_rescue(np.asarray(hr01), np.asarray(fake))
         if inverted:
-            save_display(os.path.join(out_dir, "fake_none_sample_reversed.png"),
-                         np.asarray(img))
+            _dump("fake_none_sample_reversed", img)
             print("PSNR btwn real & fake_reversed: %.4f" % psnr)
 
 

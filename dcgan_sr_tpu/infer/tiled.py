@@ -132,7 +132,7 @@ def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
 
 def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
                        bn_eval=False, both_seams=False, self_ensemble=1,
-                       ensemble_batched=False):
+                       ensemble_batched=False, flat_tiles=None):
     """One jitted program: batched overlap SR of (N, H, W) images ->
     dict of stacked naive and seam-stitched outputs.  The whole pipeline —
     tile extraction, per-tile box downsample, the batched generator over
@@ -153,6 +153,14 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
     `ensemble_batched=True` runs the N members as ONE (N*T)-tile generator
     dispatch instead of N sequential ones (ensemble.py: exact under
     bn_eval/no-BN; the pooled-joint-batch variant under train-mode BN).
+
+    `flat_tiles` flattens the generator call to ONE (N*T)-tile batch instead
+    of vmapping the per-image pipeline.  Under `bn_eval` (running stats —
+    no cross-tile coupling) this is EXACT and measured faster on hardware
+    (docs/attr_variants.md round-4 sweep), so it defaults on there; under
+    train-mode BN it would pool statistics across images (different math
+    from the reference's per-image 225-tile batches, overlap:427-431), so
+    requesting it raises.  Default None = bn_eval.
     """
     from ..models import apply_network, generator_spec
     from .seam_device import seam_stitch_device
@@ -160,6 +168,13 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
     patch, ov = cfg.patchSize, cfg.overlap
     fine = (cfg.fineSize, cfg.fineSize) if fine is None else tuple(fine)
     spec = generator_spec(cfg)
+    if flat_tiles is None:
+        flat_tiles = bn_eval
+    if flat_tiles and not bn_eval:
+        raise ValueError(
+            "flat_tiles requires bn_eval=True: a flat (N*T)-tile batch pools "
+            "train-mode BN statistics across images, which is not the "
+            "reference's per-image math")
 
     def gen_tiles(params, state, lr):
         fake, _ = apply_network(spec, params, lr, state, train=not bn_eval,
@@ -181,10 +196,26 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
                 seam_stitch_device(fake, fine, patch, ov,
                                    both_seams=both_seams))
 
-    def run(params, state, images):
+    def stitch_image(fake):
+        return (stitch_overlap_naive(fake, fine, patch, ov),
+                seam_stitch_device(fake, fine, patch, ov,
+                                   both_seams=both_seams))
+
+    def run_flat(params, state, images):
+        tiles = jax.vmap(
+            lambda im: extract_overlap_patches(im, patch, ov))(images)
+        n, t = tiles.shape[0], tiles.shape[1]
+        lr = box_downsample2(tiles.reshape(n * t, patch, patch))[:, None]
+        fake = gen_tiles(params, state, lr)[:, 0].reshape(n, t, patch, patch)
+        naive, seam = jax.vmap(stitch_image)(fake)
+        return {"naive": naive, "seam": seam}
+
+    def run_vmapped(params, state, images):
         naive, seam = jax.vmap(one_image, in_axes=(None, None, 0))(
             params, state, images)
         return {"naive": naive, "seam": seam}
+
+    run = run_flat if flat_tiles else run_vmapped
 
     if mesh is None:
         return jax.jit(run)

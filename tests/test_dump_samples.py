@@ -63,12 +63,31 @@ def test_pm1_scoring_is_on_01_scale(tmp_path, capsys):
 def test_nc1_config_grays_a_raw_rgb_canvas(tmp_path, capsys):
     # the --device-augment sample path hands dump_samples a raw [0,1]
     # 3-channel crop; an nc==1 config must rgb2gray it like the trainHook
+    # AND save the pre-conversion color image (testSample's
+    # real_none_color_sample.png, train-gray.lua:326)
     cfg = get_config("gray", env_override=False, ngf=4, ndf=8)
     state = init_train_state(cfg, jax.random.PRNGKey(0))
     sample = np.random.RandomState(2).rand(3, 64, 64).astype(np.float32)
     dump_samples(cfg, state, str(tmp_path), sample)
+    assert os.path.isfile(tmp_path / "real_none_color_sample.png")
     scores = _psnr_lines(capsys)
     assert np.isfinite(scores["bilinear"]) and np.isfinite(scores["fake"])
+
+
+def test_stats_lines_for_every_dumped_png(tmp_path, capsys):
+    # the reference prints max/min (+sum/std) for EVERY PNG it saves
+    # (train-gray.lua:334-380); each dumped file must have a matching
+    # "<stem>-max: ..." line
+    cfg = get_config("gray", env_override=False, ngf=4, ndf=8)
+    state = init_train_state(cfg, jax.random.PRNGKey(0))
+    sample = np.random.RandomState(4).rand(3, 64, 64).astype(np.float32)
+    dump_samples(cfg, state, str(tmp_path), sample)
+    out = capsys.readouterr().out
+    pngs = sorted(f[:-4] for f in os.listdir(tmp_path) if f.endswith(".png"))
+    assert pngs, "no PNGs dumped"
+    for stem in pngs:
+        assert re.search(rf"{stem}-max: [-\d.]+\s+{stem}-min: [-\d.]+", out), stem
+        assert re.search(rf"{stem}-sum: [-\d.]+\s+{stem}-std: [-\d.]+", out), stem
 
 
 def test_patch_variant_dump_unchanged(tmp_path, capsys):

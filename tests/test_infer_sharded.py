@@ -29,3 +29,26 @@ def test_sharded_overlap_sr_matches_single():
                                np.asarray(single["seam"]), atol=1e-5)
     # outputs really are sharded over the mesh
     assert len(sharded["seam"].sharding.device_set) == 8
+
+
+def test_flat_tiles_matches_vmapped_under_bn_eval():
+    """flat_tiles (one (N*T)-tile generator dispatch) must reproduce the
+    vmapped per-image pipeline exactly under bn_eval: running-stats BN has no
+    cross-tile coupling, so flattening the batch is a pure layout change."""
+    import pytest
+
+    cfg = get_config("gray-patch-batch-overlap", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(0))
+    imgs = jnp.asarray(np.random.RandomState(1).rand(4, 64, 64), jnp.float32)
+
+    vmapped = make_overlap_sr_fn(cfg, bn_eval=True, flat_tiles=False)(
+        st.g_params, st.g_state, imgs)
+    flat = make_overlap_sr_fn(cfg, bn_eval=True, flat_tiles=True)(
+        st.g_params, st.g_state, imgs)
+    for k in ("naive", "seam"):
+        np.testing.assert_allclose(np.asarray(flat[k]),
+                                   np.asarray(vmapped[k]), atol=1e-6)
+
+    # train-mode BN pools stats across images in a flat batch — must refuse
+    with pytest.raises(ValueError):
+        make_overlap_sr_fn(cfg, bn_eval=False, flat_tiles=True)

@@ -17,6 +17,18 @@ program gives the HBM-traffic roofline fraction.
 
 Usage: python tools/attr_overlap.py [--images 64] [--steps 20] [--reps 3]
        [--fp32] [--cpu] [--ngf 16]
+
+--sweep-bn instead measures the FULL pipeline under four generator-batch
+structures, isolating where the missing roofline fraction lives (round-3
+verdict: the parity pipeline sits at ~65% of HBM roofline, unattributed):
+
+  vmap_train   per-image 225-tile batches, train-mode BN (PARITY pipeline)
+  vmap_eval    per-image batches, running-stats BN (isolates BN-stat cost,
+               same vmap structure)
+  flat_eval    ONE (N*225)-tile batch, running-stats BN (exact vs vmap_eval;
+               isolates the vmap/batch-structure cost)
+  flat_pooled  ONE (N*225)-tile batch, train-mode BN pooling stats across
+               images (ablation only — different math from the reference)
 """
 
 from __future__ import annotations
@@ -38,6 +50,103 @@ from dcgan_sr_tpu.utils.measure import timed_scan as _timed  # noqa: E402
 
 
 
+def sweep_bn(args):
+    """Full-pipeline MP/s + per-dispatch HBM bytes under the four
+    generator-batch structures (see module docstring)."""
+    import numpy as np
+    import jax
+    if args.cpu:
+        from dcgan_sr_tpu.utils.cache import pin_cpu
+        pin_cpu(jax)
+    else:
+        from dcgan_sr_tpu.utils.cache import enable_tpu_cache
+        enable_tpu_cache(jax)
+    import jax.numpy as jnp
+    from jax import lax
+    from dcgan_sr_tpu.core import get_config
+    from dcgan_sr_tpu.image.ops import box_downsample2
+    from dcgan_sr_tpu.image.patches import (extract_overlap_patches,
+                                            stitch_overlap_naive)
+    from dcgan_sr_tpu.infer.seam_device import seam_stitch_device
+    from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
+    from dcgan_sr_tpu.models import apply_network, generator_spec
+    from dcgan_sr_tpu.train import init_train_state
+
+    overrides = {"ngf": args.ngf} if args.ngf is not None else {}
+    cfg = get_config("gray-patch-batch-overlap", env_override=False,
+                     **overrides)
+    dtype = None if args.fp32 else jnp.bfloat16
+    spec = generator_spec(cfg)
+    patch, ov = cfg.patchSize, cfg.overlap
+    fine = (cfg.fineSize, cfg.fineSize)
+    n, k, reps = args.images, args.steps, args.reps
+
+    st = init_train_state(cfg, jax.random.PRNGKey(0))
+    params, bn = st.g_params, st.g_state
+    xs = jnp.asarray(np.random.RandomState(0).rand(k, n, *fine), jnp.float32)
+
+    def stitch(fake):  # (T, p, p) -> scalar folding both stitches
+        return (stitch_overlap_naive(fake, fine, patch, ov)
+                .astype(jnp.float32).mean()
+                + seam_stitch_device(fake, fine, patch, ov)
+                .astype(jnp.float32).mean())
+
+    def flat_pooled(images):
+        # ablation: one (N*T)-tile dispatch with TRAIN-mode BN (stats pooled
+        # across images — not reference math, structure probe only)
+        tiles = jax.vmap(
+            lambda im: extract_overlap_patches(im, patch, ov))(images)
+        nt = tiles.shape[0] * tiles.shape[1]
+        lr = box_downsample2(tiles.reshape(nt, patch, patch))[:, None]
+        fake, _ = apply_network(spec, params, lr, bn, train=True,
+                                compute_dtype=dtype)
+        return jax.vmap(stitch)(
+            fake[:, 0].reshape(n, -1, patch, patch)).sum()
+
+    def from_sr_fn(bn_eval, flat):
+        sr = make_overlap_sr_fn(cfg, compute_dtype=dtype, bn_eval=bn_eval,
+                                flat_tiles=flat)
+
+        def run(images):
+            out = sr(params, bn, images)
+            return (out["naive"].astype(jnp.float32).mean()
+                    + out["seam"].astype(jnp.float32).mean())
+        return run
+
+    pipelines = {
+        "vmap_train": from_sr_fn(False, False),
+        "vmap_eval": from_sr_fn(True, False),
+        "flat_eval": from_sr_fn(True, True),
+        "flat_pooled": flat_pooled,
+    }
+    results = {"images_per_dispatch": n, "scan_steps": k,
+               "dtype": "float32" if args.fp32 else "bfloat16"}
+    mp = n * fine[0] * fine[1] / 1e6
+    for name, body in pipelines.items():
+        def scanned(images_k, _body=body):
+            def sbody(c, imgs):
+                return c + _body(imgs), None
+            c, _ = lax.scan(sbody, jnp.zeros(()), images_k)
+            return c
+
+        ms = _timed(jax.jit(scanned), (xs,), reps, k) * 1e3
+        results[name + "_ms"] = round(ms, 3)
+        results[name + "_mp_per_s"] = round(mp / (ms / 1e3), 2)
+        try:  # per-dispatch traffic/flops: lower ONE unscanned dispatch
+            ca = jax.jit(body).lower(xs[0]).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            results[name + "_gb"] = round(
+                ca.get("bytes accessed", 0.0) / 1e9, 3)
+            results[name + "_gflop"] = round(ca.get("flops", 0.0) / 1e9, 2)
+            results[name + "_gb_per_s"] = round(
+                results[name + "_gb"] / (ms / 1e3), 1)
+        except Exception as e:
+            results[name + "_cost_error"] = str(e)[:120]
+
+    print(json.dumps(results, indent=1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=64)
@@ -48,7 +157,13 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (smoke tests; numbers are not "
                          "TPU attribution)")
+    ap.add_argument("--sweep-bn", action="store_true",
+                    help="measure the four generator-batch structures "
+                         "(vmap/flat x train/eval BN) instead of the stage "
+                         "attribution")
     args = ap.parse_args()
+    if args.sweep_bn:
+        return sweep_bn(args)
 
     import numpy as np
     import jax
