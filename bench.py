@@ -168,14 +168,18 @@ def measure_overlap_inference():
     """Second north-star metric (BASELINE.md: patch-overlap inference MP/s,
     reference pipeline train-gray-patch-batch-overlap.lua:377-704). Reuses
     bench_infer.py's measurement in-process — same tunnel client, no second
-    jax client (CLAUDE.md tunnel discipline)."""
+    jax client (CLAUDE.md tunnel discipline).  Two records: the parity
+    pipeline (per-image train-mode BN, the reference's math) and the
+    recommended bn_eval quality mode (running-stats BN + flat tile batch —
+    +5.6 dB AND faster, docs/attr_variants.md round-4 sweep)."""
     import bench_infer
-    return bench_infer.overlap_record()
+    return [bench_infer.overlap_record(),
+            bench_infer.overlap_record(bn_eval=True)]
 
 
 def main():
     baselines = get_baselines()
-    lines = [measure_overlap_inference()]
+    lines = measure_overlap_inference()
     for variant in ("rgb-full", "gray-patch-batch", "gray-3"):  # flagship last
         reps = sorted(measure_tpu(variant))
         ips = reps[len(reps) // 2]  # median rep: robust to host noise

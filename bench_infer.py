@@ -70,7 +70,7 @@ def measure_torch_cpu(n_images=4):
 
 
 def measure_tpu(n_images=N_IMAGES, reps=3, self_ensemble=1, scan_steps=20,
-                ensemble_batched=False):
+                ensemble_batched=False, bn_eval=False):
     """Sustained MP/s of the on-device overlap pipeline.
 
     The measured body is `scan_steps` pipeline invocations inside ONE jitted
@@ -94,7 +94,12 @@ def measure_tpu(n_images=N_IMAGES, reps=3, self_ensemble=1, scan_steps=20,
 
     cfg = get_config("gray-patch-batch-overlap", env_override=False)
     st = init_train_state(cfg, jax.random.PRNGKey(0))
+    # bn_eval=True is the documented intent/quality mode (running-stats BN,
+    # +5.6 dB over parity BN at overlap inference — PARITY.md) and defaults
+    # to the flat (N*T)-tile generator dispatch, measured faster than the
+    # vmapped per-image parity pipeline (docs/attr_variants.md round-4 sweep).
     run = make_overlap_sr_fn(cfg, compute_dtype=jnp.bfloat16,
+                             bn_eval=bn_eval,
                              self_ensemble=self_ensemble,
                              ensemble_batched=ensemble_batched)
 
@@ -121,10 +126,17 @@ def measure_tpu(n_images=N_IMAGES, reps=3, self_ensemble=1, scan_steps=20,
     return rep_mps
 
 
-def overlap_record():
+def overlap_record(bn_eval=False):
     """Measure the TPU overlap-SR pipeline and build the driver JSON record,
     lazily measuring + caching the torch-CPU baseline in BASELINE_FILE.
-    Single source of truth for the record — bench.py calls this too."""
+    Single source of truth for the record — bench.py calls this too.
+
+    bn_eval=False is the parity pipeline (per-image train-mode BN — the
+    reference's convention, overlap:427-431, same math as the torch-CPU
+    baseline).  bn_eval=True is the recommended quality mode (running-stats
+    BN, +5.6 dB — PARITY.md) via the flat (N*T)-tile dispatch; its
+    vs_baseline divides by the SAME parity torch-CPU baseline, since that is
+    the pipeline a reference user runs either way."""
     data = {}
     if os.path.isfile(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -133,10 +145,11 @@ def overlap_record():
         data["torch_cpu_overlap_mp_per_sec"] = measure_torch_cpu()
         with open(BASELINE_FILE, "w") as f:
             json.dump(data, f, indent=1)
-    reps = sorted(measure_tpu())
+    reps = sorted(measure_tpu(bn_eval=bn_eval))
     mps = reps[len(reps) // 2]  # median rep: robust to host noise
     return {
-        "metric": "overlap_sr_upscaled_mp_per_sec",
+        "metric": "overlap_sr_upscaled_mp_per_sec"
+                  + ("_bn_eval" if bn_eval else ""),
         "value": round(mps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mps / data["torch_cpu_overlap_mp_per_sec"], 2),
@@ -156,6 +169,9 @@ def main():
                     help="run the N ensemble members as ONE (N*T)-tile "
                          "generator dispatch (infer/ensemble.py batched "
                          "form) instead of N sequential dispatches")
+    ap.add_argument("--bn-eval", action="store_true",
+                    help="measure the running-stats/flat-tile quality mode "
+                         "instead of the parity pipeline")
     args = ap.parse_args()
     if args.self_ensemble != 1:
         # The batched ensemble multiplies the tile batch by N; shrink the
@@ -174,7 +190,7 @@ def main():
                       f"tta{args.self_ensemble}{form}",
             "value": round(mps, 3), "unit": "MP/s"}))
     else:
-        print(json.dumps(overlap_record()))
+        print(json.dumps(overlap_record(bn_eval=args.bn_eval)))
 
 
 if __name__ == "__main__":
