@@ -114,17 +114,37 @@ def get_baselines():
         if "torch_cpu_images_per_sec" in data:  # round-1 single-config format
             data = {"gray-3": data["torch_cpu_images_per_sec"],
                     "note": data.get("note", "")}
-    changed = False
+    regen = []
     for variant in SHAPES:
         if variant not in data:
             data[variant] = measure_torch_cpu_baseline(variant)
-            changed = True
-    if changed:
-        data["note"] = ("torch-CPU re-enactment of the reference per-step "
-                        "work (fDx+fGx+2 Adam) per variant, images/sec")
+            regen.append(variant)
+    if regen:
+        # Never clobber the committed note (it records the label-scheme and
+        # cross-host-comparability caveats); instead append a regeneration
+        # record naming WHICH variants were re-measured and on what host, so
+        # baselines from different machines are never silently mixed.
+        data.setdefault("note", (
+            "torch-CPU re-enactment of the reference per-step work "
+            "(fDx+fGx+2 Adam) per variant, images/sec"))
+        data.setdefault("regenerated", []).append(
+            {"variants": regen, "host": _host_desc()})
         with open(BASELINE_FILE, "w") as f:
             json.dump(data, f, indent=1)
     return data
+
+
+def _host_desc():
+    try:
+        with open("/proc/cpuinfo") as f:
+            text = f.read()
+        model = next(line.split(":", 1)[1].strip() for line in text.split("\n")
+                     if line.startswith("model name"))
+        cores = text.count("model name")
+        return f"{cores} cores, {model}"
+    except (OSError, StopIteration):
+        import platform
+        return platform.processor() or "unknown"
 
 
 def measure_tpu(variant, k=STEPS, reps=3):
@@ -180,19 +200,18 @@ def measure_overlap_inference():
 def main():
     baselines = get_baselines()
     lines = measure_overlap_inference()
+    from dcgan_sr_tpu.utils.measure import median_spread
     for variant in ("rgb-full", "gray-patch-batch", "gray-3"):  # flagship last
-        reps = sorted(measure_tpu(variant))
-        ips = reps[len(reps) // 2]  # median rep: robust to host noise
+        # median rep + min/median/max spread — distinguishes host noise from
+        # a real regression when rounds land on different machines
+        ips, spread = median_spread(measure_tpu(variant), 1)
         suffix = "" if variant == "gray-3" else "_" + variant.replace("-", "_")
         lines.append({
             "metric": f"train_images_per_sec{suffix}",
             "value": round(ips, 1),
             "unit": "images/sec",
             "vs_baseline": round(ips / baselines[variant], 2),
-            # min/median/max over the reps — distinguishes host noise from a
-            # real regression when rounds land on different machines
-            "rep_spread": [round(reps[0], 1), round(ips, 1),
-                           round(reps[-1], 1)],
+            "rep_spread": spread,
         })
     for rec in lines:
         print(json.dumps(rec))

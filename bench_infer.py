@@ -145,15 +145,15 @@ def overlap_record(bn_eval=False):
         data["torch_cpu_overlap_mp_per_sec"] = measure_torch_cpu()
         with open(BASELINE_FILE, "w") as f:
             json.dump(data, f, indent=1)
-    reps = sorted(measure_tpu(bn_eval=bn_eval))
-    mps = reps[len(reps) // 2]  # median rep: robust to host noise
+    from dcgan_sr_tpu.utils.measure import median_spread
+    mps, spread = median_spread(measure_tpu(bn_eval=bn_eval), 3)
     return {
         "metric": "overlap_sr_upscaled_mp_per_sec"
                   + ("_bn_eval" if bn_eval else ""),
         "value": round(mps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mps / data["torch_cpu_overlap_mp_per_sec"], 2),
-        "rep_spread": [round(reps[0], 3), round(mps, 3), round(reps[-1], 3)],
+        "rep_spread": spread,
     }
 
 
@@ -179,16 +179,19 @@ def main():
         # (64 imgs x 225 tiles x 8 members OOMs a 16G v5e). MP/s is
         # per-image-normalized, so the smaller dispatch only slightly
         # understates throughput.
-        reps = sorted(measure_tpu(
+        from dcgan_sr_tpu.utils.measure import median_spread
+        mps, spread = median_spread(measure_tpu(
             n_images=max(8, N_IMAGES // args.self_ensemble),
             self_ensemble=args.self_ensemble,
-            ensemble_batched=args.ensemble_batched))
-        mps = reps[len(reps) // 2]
+            ensemble_batched=args.ensemble_batched,
+            bn_eval=args.bn_eval), 3)
         form = "_batched" if args.ensemble_batched else ""
+        mode = "_bn_eval" if args.bn_eval else ""
         print(json.dumps({
             "metric": "overlap_sr_upscaled_mp_per_sec_"
-                      f"tta{args.self_ensemble}{form}",
-            "value": round(mps, 3), "unit": "MP/s"}))
+                      f"tta{args.self_ensemble}{form}{mode}",
+            "value": round(mps, 3), "unit": "MP/s",
+            "rep_spread": spread}))
     else:
         print(json.dumps(overlap_record(bn_eval=args.bn_eval)))
 

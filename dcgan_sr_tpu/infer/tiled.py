@@ -185,6 +185,11 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
         from .ensemble import self_ensemble as wrap
         gen_tiles = wrap(gen_tiles, self_ensemble, batched=ensemble_batched)
 
+    def stitch_image(fake):
+        return (stitch_overlap_naive(fake, fine, patch, ov),
+                seam_stitch_device(fake, fine, patch, ov,
+                                   both_seams=both_seams))
+
     def one_image(params, state, image):
         tiles = extract_overlap_patches(image, patch, ov)    # (T, p, p)
         lr = box_downsample2(tiles)[:, None]
@@ -192,14 +197,7 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
         # tiles as the generator batch, overlap:427-431) — vmapping the whole
         # per-image pipeline preserves that
         fake = gen_tiles(params, state, lr)[:, 0]
-        return (stitch_overlap_naive(fake, fine, patch, ov),
-                seam_stitch_device(fake, fine, patch, ov,
-                                   both_seams=both_seams))
-
-    def stitch_image(fake):
-        return (stitch_overlap_naive(fake, fine, patch, ov),
-                seam_stitch_device(fake, fine, patch, ov,
-                                   both_seams=both_seams))
+        return stitch_image(fake)
 
     def run_flat(params, state, images):
         tiles = jax.vmap(

@@ -24,3 +24,13 @@ def timed_scan(fn, args, reps, k):
         v = fn(*args)
     float(v)
     return (time.perf_counter() - t0) / (reps * k)
+
+
+def median_spread(reps, nd):
+    """(median, [min, median, max]) of a list of rep measurements, rounded to
+    `nd` decimals — the one spread format every bench JSON line carries
+    (BENCH_r04+ schema: median as 'value', spread distinguishing host noise
+    from a real regression across rounds/machines)."""
+    reps = sorted(reps)
+    med = reps[len(reps) // 2]
+    return med, [round(reps[0], nd), round(med, nd), round(reps[-1], nd)]
