@@ -130,9 +130,17 @@ def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
     return {"tiles": fake_tiles, "naive": naive, "seam": seam}
 
 
+def lr_pad_dim(d, patch, overlap):
+    """Smallest extent >= d a LOW-RES input can be padded to so that its 2x
+    output extent is overlap-legal (the lr_input mode of make_overlap_sr_fn);
+    returns the LR extent — the output extent is twice it."""
+    return overlap_pad_dim(2 * d, patch, overlap) // 2
+
+
 def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
                        bn_eval=False, both_seams=False, self_ensemble=1,
-                       ensemble_batched=False, flat_tiles=None):
+                       ensemble_batched=False, flat_tiles=None,
+                       lr_input=False):
     """One jitted program: batched overlap SR of (N, H, W) images ->
     dict of stacked naive and seam-stitched outputs.  The whole pipeline —
     tile extraction, per-tile box downsample, the batched generator over
@@ -161,6 +169,17 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
     train-mode BN it would pool statistics across images (different math
     from the reference's per-image 225-tile batches, overlap:427-431), so
     requesting it raises.  Default None = bn_eval.
+
+    `lr_input=True` is TRUE 2x upscaling: images are (N, H/2, W/2) LOW-RES
+    inputs and the output is (N, H, W) with `fine` = (H, W) the OUTPUT size.
+    Instead of degrading internally (the reference's eval protocol,
+    overlap:402-407, which every other mode mirrors), tiles are extracted
+    from the LR image at HALF geometry (patch/2 at stride overlap/2).
+    Because the 2x2 box degrade and the tile gather commute on the
+    even-aligned tile grid, those LR tiles are BIT-IDENTICAL to the
+    protocol's degraded HR tiles — the generator sees exactly its training
+    regime (exactness-tested vs the protocol pipeline on degraded inputs).
+    Requires even patchSize and overlap.
     """
     from ..models import apply_network, generator_spec
     from .seam_device import seam_stitch_device
@@ -175,6 +194,20 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
             "flat_tiles requires bn_eval=True: a flat (N*T)-tile batch pools "
             "train-mode BN statistics across images, which is not the "
             "reference's per-image math")
+    if lr_input and (patch % 2 or ov % 2):
+        raise ValueError(
+            "lr_input requires even patchSize and overlap (tiles are "
+            f"extracted at half geometry); got {patch}/{ov}")
+    # tile size / stride AS EXTRACTED from the input image: half geometry on
+    # an LR input (no internal degrade), full geometry + degrade otherwise
+    ep, eov = (patch // 2, ov // 2) if lr_input else (patch, ov)
+
+    def extract_lr(image):
+        """input image -> (T, 1, patch/2, patch/2) generator input tiles."""
+        tiles = extract_overlap_patches(image, ep, eov)
+        if not lr_input:
+            tiles = box_downsample2(tiles)
+        return tiles[:, None]
 
     def gen_tiles(params, state, lr):
         fake, _ = apply_network(spec, params, lr, state, train=not bn_eval,
@@ -191,20 +224,18 @@ def make_overlap_sr_fn(cfg, *, compute_dtype=None, mesh=None, fine=None,
                                    both_seams=both_seams))
 
     def one_image(params, state, image):
-        tiles = extract_overlap_patches(image, patch, ov)    # (T, p, p)
-        lr = box_downsample2(tiles)[:, None]
         # BN statistics are per-image (the reference feeds one image's 225
         # tiles as the generator batch, overlap:427-431) — vmapping the whole
         # per-image pipeline preserves that
+        lr = extract_lr(image)                               # (T, 1, p/2, p/2)
         fake = gen_tiles(params, state, lr)[:, 0]
         return stitch_image(fake)
 
     def run_flat(params, state, images):
-        tiles = jax.vmap(
-            lambda im: extract_overlap_patches(im, patch, ov))(images)
-        n, t = tiles.shape[0], tiles.shape[1]
-        lr = box_downsample2(tiles.reshape(n * t, patch, patch))[:, None]
-        fake = gen_tiles(params, state, lr)[:, 0].reshape(n, t, patch, patch)
+        lr = jax.vmap(extract_lr)(images)                    # (N, T, 1, ·, ·)
+        n, t = lr.shape[0], lr.shape[1]
+        fake = gen_tiles(params, state, lr.reshape((n * t,) + lr.shape[2:]))
+        fake = fake[:, 0].reshape(n, t, patch, patch)
         naive, seam = jax.vmap(stitch_image)(fake)
         return {"naive": naive, "seam": seam}
 

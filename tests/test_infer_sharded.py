@@ -52,3 +52,39 @@ def test_flat_tiles_matches_vmapped_under_bn_eval():
     # train-mode BN pools stats across images in a flat batch — must refuse
     with pytest.raises(ValueError):
         make_overlap_sr_fn(cfg, bn_eval=False, flat_tiles=True)
+
+def test_lr_input_matches_protocol_on_degraded_images():
+    """True-2x mode: feeding the degraded image as an LR input must reproduce
+    the protocol pipeline (which degrades internally) EXACTLY — the half-
+    geometry tile gather commutes with the 2x2 box degrade on the even-aligned
+    tile grid, so the generator sees bit-identical tile batches."""
+    from dcgan_sr_tpu.image.ops import box_downsample2
+
+    cfg = get_config("gray-patch-batch-overlap", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(0))
+    imgs = jnp.asarray(np.random.RandomState(2).rand(3, 64, 64), jnp.float32)
+    lr = box_downsample2(imgs)                               # (3, 32, 32)
+
+    for kw in (dict(), dict(bn_eval=True)):                  # both BN modes
+        proto = make_overlap_sr_fn(cfg, **kw)(st.g_params, st.g_state, imgs)
+        true2x = make_overlap_sr_fn(cfg, lr_input=True, **kw)(
+            st.g_params, st.g_state, lr)
+        for k in ("naive", "seam"):
+            np.testing.assert_allclose(np.asarray(true2x[k]),
+                                       np.asarray(proto[k]), atol=1e-6)
+    assert true2x["seam"].shape == (3, 64, 64)               # 2x the input
+
+
+def test_lr_input_rectangular_and_pad_helper():
+    """lr_pad_dim yields a legal LR extent; the 2x output has twice the dims."""
+    from dcgan_sr_tpu.infer.tiled import lr_pad_dim
+
+    cfg = get_config("gray-patch-batch-overlap", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(0))
+    p, ov = cfg.patchSize, cfg.overlap
+    h, w = lr_pad_dim(17, p, ov), lr_pad_dim(23, p, ov)
+    lr = jnp.asarray(np.random.RandomState(3).rand(2, h, w), jnp.float32)
+    out = make_overlap_sr_fn(cfg, lr_input=True, fine=(2 * h, 2 * w),
+                             bn_eval=True)(st.g_params, st.g_state, lr)
+    assert out["seam"].shape == (2, 2 * h, 2 * w)
+    assert np.isfinite(np.asarray(out["seam"])).all()

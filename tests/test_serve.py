@@ -1,0 +1,116 @@
+"""Serving layer (tools/serve.py): micro-batched SR service + HTTP front.
+
+The service wraps the lr_input/protocol overlap pipelines (infer/tiled.py);
+these tests pin the request path — shape buckets, batch coalescing, padding
+crop-back, exactness vs a direct pipeline call — and the HTTP round-trip,
+all CPU-pinned (conftest) with a tiny random-init G."""
+
+import http.client
+import io
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dcgan_sr_tpu.core import get_config
+from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
+from dcgan_sr_tpu.train import init_train_state
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tools.serve import SRService, make_http_server  # noqa: E402
+
+TINY = dict(ngf=4, ndf=8)
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = get_config("gray-patch-batch-overlap", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(0))
+    svc = SRService(cfg, st.g_params, st.g_state, max_size=32, max_batch=4,
+                    window_ms=30.0)
+    yield svc
+    svc.close()
+
+
+def test_true_2x_submit_matches_direct_pipeline(service):
+    rng = np.random.RandomState(0)
+    img = rng.rand(26, 31).astype(np.float32)          # ragged, needs padding
+    out = service.submit(img)                          # default mode: 2x
+    assert out.shape == (52, 62)
+
+    b = service.buckets[0]
+    padded = np.pad(img, ((0, b - 26), (0, b - 31)), mode="edge")
+    direct = make_overlap_sr_fn(service.cfg, fine=(2 * b, 2 * b),
+                                lr_input=True, bn_eval=True)(
+        service.g_params, service.g_state, jnp.asarray(padded)[None])
+    np.testing.assert_allclose(out, np.asarray(direct["seam"])[0, :52, :62],
+                               atol=1e-6)
+
+
+def test_restore_mode_same_size(service):
+    img = np.random.RandomState(1).rand(64, 64).astype(np.float32)
+    out = service.submit(img, mode="restore")
+    assert out.shape == (64, 64)
+    assert np.isfinite(out).all()
+
+
+def test_concurrent_requests_coalesce_into_batches(service):
+    imgs = [np.random.RandomState(i).rand(32, 32).astype(np.float32)
+            for i in range(4)]
+    b0 = service.stats["batches"]
+    results = [None] * 4
+
+    def post(i):
+        results[i] = service.submit(imgs[i])
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r.shape == (64, 64) for r in results)
+    # 4 concurrent requests within the window must need fewer dispatches
+    assert service.stats["batches"] - b0 < 4
+    # batching must not change per-request results (bn_eval independence)
+    solo = service.submit(imgs[2])
+    np.testing.assert_allclose(results[2], solo, atol=1e-6)
+
+
+def test_oversized_image_fails_cleanly(service):
+    with pytest.raises(ValueError, match="exceeds max bucket"):
+        service.submit(np.zeros((80, 80), np.float32))
+    # the dispatcher survives the failure
+    assert service.submit(np.zeros((16, 16), np.float32)).shape == (32, 32)
+
+
+def test_http_round_trip(service):
+    from PIL import Image
+
+    srv = make_http_server(service, port=0)            # ephemeral port
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        buf = io.BytesIO()
+        arr = (np.random.RandomState(3).rand(20, 24) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(buf, format="PNG")
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/upscale", body=buf.getvalue())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = Image.open(io.BytesIO(resp.read()))
+        assert out.size == (48, 40)                    # PIL size is (W, H)
+
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        health = resp.read().decode()
+        assert resp.status == 200
+        assert '"ready": true' in health
+        conn.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()

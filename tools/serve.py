@@ -1,0 +1,351 @@
+#!/usr/bin/env python3
+"""Persistent batched SR serving — compile once, serve many.
+
+`tools/upscale.py` pays XLA compilation (1-3.5 min through the TPU tunnel)
+on EVERY invocation; a deployment instead holds ONE live jax client
+(CLAUDE.md tunnel discipline) with the overlap-SR program compiled per
+shape bucket, and serves HTTP requests with micro-batching: concurrent
+requests within a short window coalesce into one device dispatch, riding
+the pipeline's measured batch efficiency (docs/attr_variants.md — the
+generator is bandwidth-bound, so batching is nearly free throughput).
+
+The compute path is the round-4 recommended quality stack by default:
+true-2x `lr_input` tiling (infer/tiled.py — bit-identical to the trained
+regime) + running-stats BN (`bn_eval`, +5.6 dB over parity BN, PARITY.md)
++ the flat (N*T)-tile dispatch (measured +15%). Reference lineage:
+train-gray-patch-batch-overlap.lua:377-704 (the tiled pipeline this serves).
+
+  python tools/serve.py --config gray-patch-batch-overlap \
+      --ckpt checkpoints/..._net_G.npz --port 8000 --warmup
+  curl --data-binary @face.png http://localhost:8000/upscale > face_sr.png
+
+Endpoints:
+  POST /upscale      image bytes (PNG/JPEG) -> PNG. Default: true-2x
+                     (HxW low-res in, 2Hx2W out). `?mode=restore` runs the
+                     reference eval protocol instead (degrade internally,
+                     same-size output).
+  GET  /healthz      JSON: ready, compiled buckets, request/batch counters.
+
+Static shapes are an XLA requirement, not an implementation detail: inputs
+are edge-padded to a small ladder of overlap-legal square buckets and
+batches to power-of-two sizes, so the steady-state program count is
+O(buckets x log(max_batch)) and every request after warmup is a cache hit.
+"""
+
+import argparse
+import io
+import json
+import os
+import queue
+import sys
+import threading
+import time
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+class SRService:
+    """Owns the jax client: per-bucket jitted pipelines + a dispatcher
+    thread that coalesces queued requests into batched device dispatches.
+
+    `submit(img_hw, mode)` is thread-safe and blocks until the result is
+    ready; all jax calls happen on the single dispatcher thread."""
+
+    def __init__(self, cfg, g_params, g_state, *, max_size=256, max_batch=8,
+                 window_ms=5.0, bn_eval=True, self_ensemble=1):
+        if cfg.nc != 1:
+            raise ValueError("serving currently supports grayscale configs "
+                             "(nc=1), like the reference overlap pipeline")
+        from dcgan_sr_tpu.infer.tiled import lr_pad_dim
+
+        self.cfg = cfg
+        self.g_params, self.g_state = g_params, g_state
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1e3
+        self.bn_eval = bool(bn_eval)
+        self.self_ensemble = int(self_ensemble)
+        p, ov = cfg.patchSize, cfg.overlap
+        # LR-extent ladder: ~1.5x steps snapped to overlap-legal extents,
+        # from the training tile grid (fineSize/2) up to max_size
+        buckets, d = [], cfg.fineSize // 2
+        while d < max_size:
+            b = lr_pad_dim(d, p, ov)
+            if not buckets or b > buckets[-1]:
+                buckets.append(b)
+            d = int(d * 1.5)
+        self.buckets = buckets + [lr_pad_dim(max_size, p, ov)]
+        self._fns = {}            # (bucket, mode) -> jitted pipeline
+        self._q = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "errors": 0}
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    # -- shape discipline ---------------------------------------------------
+
+    def bucket_for(self, h, w):
+        d = max(h, w)
+        for b in self.buckets:
+            if b >= d:
+                return b
+        raise ValueError(f"image {h}x{w} exceeds max bucket "
+                         f"{self.buckets[-1]} (raise --max-size)")
+
+    def _fn(self, bucket, mode):
+        key = (bucket, mode)
+        if key not in self._fns:
+            from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
+            if mode == "restore":   # reference eval protocol, same-size out
+                self._fns[key] = make_overlap_sr_fn(
+                    self.cfg, fine=(2 * bucket, 2 * bucket), lr_input=False,
+                    bn_eval=self.bn_eval, self_ensemble=self.self_ensemble)
+            else:                   # true-2x: LR in, 2x out
+                self._fns[key] = make_overlap_sr_fn(
+                    self.cfg, fine=(2 * bucket, 2 * bucket), lr_input=True,
+                    bn_eval=self.bn_eval, self_ensemble=self.self_ensemble)
+        return self._fns[key]
+
+    def warmup(self, batch_sizes=(1,)):
+        """Precompile every (bucket, batch) program so no request ever waits
+        on the tunnel compile.  Runs ON the dispatcher queue so the single-
+        client discipline holds."""
+        for b in self.buckets:
+            for mode in ("2x", "restore"):
+                for n in batch_sizes:
+                    size = b if mode == "2x" else 2 * b
+                    img = np.zeros((size, size), np.float32)
+                    self.submit_many([img] * n, mode)
+
+    # -- request path ---------------------------------------------------------
+
+    def submit(self, img_hw, mode="2x"):
+        """SR one (H, W) [0,1] image; blocks until the batched dispatch that
+        includes it completes.  Returns the cropped output array."""
+        return self.submit_many([img_hw], mode)[0]
+
+    def submit_many(self, imgs, mode="2x"):
+        done = threading.Event()
+        item = {"imgs": imgs, "mode": mode, "done": done}
+        self._q.put(item)
+        done.wait()
+        if "error" in item:
+            raise item["error"]
+        return item["results"]
+
+    # -- dispatcher (the only thread that touches jax) ------------------------
+
+    def _dispatch_loop(self):
+        while True:
+            items = [self._q.get()]
+            if items[0] is None:
+                return
+            # micro-batch: coalesce whatever lands within the window, up to
+            # max_batch images, same mode only (different programs)
+            deadline = time.monotonic() + self.window_s
+            requeue = []
+            while sum(len(i["imgs"]) for i in items) < self.max_batch:
+                tmo = deadline - time.monotonic()
+                if tmo <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=tmo)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)
+                    break
+                if nxt["mode"] == items[0]["mode"]:
+                    items.append(nxt)
+                else:
+                    requeue.append(nxt)
+            for r in requeue:
+                self._q.put(r)
+            try:
+                self._run_batch(items)
+            except Exception as e:  # fail the requests, not the server
+                self.stats["errors"] += len(items)
+                for it in items:
+                    it["error"] = e
+                    it["done"].set()
+
+    def _run_batch(self, items):
+        import jax.numpy as jnp
+
+        mode = items[0]["mode"]
+        flat = [(it, im) for it in items for im in it["imgs"]]
+        sizes = [im.shape for _, im in flat]
+        mh, mw = (max(h for h, _ in sizes), max(w for _, w in sizes))
+        if mode == "2x":            # inputs are LR: bucket them directly
+            bucket = self.bucket_for(mh, mw)
+            side = bucket
+        else:                       # restore inputs are at OUTPUT (2x) scale
+            bucket = self.bucket_for((mh + 1) // 2, (mw + 1) // 2)
+            side = 2 * bucket
+        batch = np.stack([
+            np.pad(im, ((0, side - im.shape[0]), (0, side - im.shape[1])),
+                   mode="edge") for _, im in flat])
+        n = len(batch)
+        # power-of-two batch bucket bounds the program count; under bn_eval
+        # (running stats) per-image results are independent of batch padding
+        n2 = 1 << (n - 1).bit_length()
+        if n2 > n:
+            batch = np.concatenate([batch, batch[:1].repeat(n2 - n, axis=0)])
+        out = self._fn(bucket, mode)(self.g_params, self.g_state,
+                                     jnp.asarray(batch))
+        seam = np.asarray(out["seam"])[:n]
+        self.stats["requests"] += n
+        self.stats["batches"] += 1
+        k = 0
+        for it in items:
+            res = []
+            for im in it["imgs"]:
+                h, w = im.shape
+                oh, ow = (2 * h, 2 * w) if mode == "2x" else (h, w)
+                res.append(seam[k, :oh, :ow])
+                k += 1
+            it["results"] = res
+            it["done"].set()
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+
+def make_http_server(service, port=8000, host="127.0.0.1"):
+    """ThreadingHTTPServer over an SRService: handler threads only
+    decode/encode and enqueue; the service's dispatcher owns the device."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from dcgan_sr_tpu.image.io import load_image
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # stdout stays for the service's own logs
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.split("?")[0] != "/healthz":
+                return self._json(404, {"error": "unknown path"})
+            self._json(200, {
+                "ready": True,
+                "config": service.cfg.variant,
+                "buckets_lr": service.buckets,
+                "compiled": sorted(f"{b}:{m}" for b, m in service._fns),
+                **service.stats,
+            })
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            if path != "/upscale":
+                return self._json(404, {"error": "unknown path"})
+            mode = "restore" if "mode=restore" in query else "2x"
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                img = load_image(io.BytesIO(self.rfile.read(length)), nc=1)[0]
+                sr = service.submit(img, mode)
+            except Exception as e:
+                return self._json(400, {"error": str(e)})
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(
+                np.clip(np.round(np.asarray(sr) * 255.0), 0, 255)
+                .astype(np.uint8)).save(buf, format="PNG")
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="gray-patch-batch-overlap")
+    ap.add_argument("--ckpt", help="framework checkpoint (…_net_G.npz)")
+    ap.add_argument("--t7", help="reference Torch checkpoint (net_G.t7)")
+    ap.add_argument("--ema", action="store_true")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--max-size", type=int, default=256,
+                    help="largest LR input extent served")
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--window-ms", type=float, default=5.0,
+                    help="micro-batch aggregation window")
+    ap.add_argument("--parity-bn", action="store_true",
+                    help="per-image train-mode BN (the reference's math) "
+                         "instead of the default running-stats quality mode")
+    ap.add_argument("--self-ensemble", type=int, default=1,
+                    choices=(1, 2, 4, 8))
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile every (bucket, mode) program at startup")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        from dcgan_sr_tpu.utils.cache import pin_cpu
+        pin_cpu(jax)
+    else:
+        from dcgan_sr_tpu.utils.cache import enable_tpu_cache
+        enable_tpu_cache(jax)
+
+    from dcgan_sr_tpu.core import get_config
+    from dcgan_sr_tpu.models import generator_spec
+    from dcgan_sr_tpu.train import init_train_state
+
+    cfg = get_config(args.config)
+    state = init_train_state(cfg, jax.random.PRNGKey(0))
+    g_params, g_state = state.g_params, state.g_state
+    if args.t7:
+        from dcgan_sr_tpu.compat import import_torch_generator
+        g_params, g_state = import_torch_generator(
+            args.t7, generator_spec(cfg), g_params, g_state)
+    elif args.ckpt:
+        from dcgan_sr_tpu.train.checkpoint import load_branch, npz_branches
+        data = np.load(args.ckpt)
+        g_params = load_branch(data, "ema" if args.ema else "params",
+                               g_params)
+        if "state" in npz_branches(data):
+            g_state = load_branch(data, "state", g_state)
+        elif not args.parity_bn:
+            sys.exit("running-stats serving needs a checkpoint with a "
+                     "'state' branch (or pass --parity-bn)")
+    else:
+        print("WARNING: no checkpoint given; serving a random-init G")
+
+    service = SRService(cfg, g_params, g_state, max_size=args.max_size,
+                        max_batch=args.max_batch, window_ms=args.window_ms,
+                        bn_eval=not args.parity_bn,
+                        self_ensemble=args.self_ensemble)
+    if args.warmup:
+        t0 = time.perf_counter()
+        service.warmup()
+        print(f"warmup: {len(service._fns)} programs compiled in "
+              f"{time.perf_counter() - t0:.1f}s")
+    srv = make_http_server(service, args.port, args.host)
+    print(f"serving {cfg.variant} on http://{args.host}:{args.port}  "
+          f"(LR buckets {service.buckets}, max_batch {args.max_batch})")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

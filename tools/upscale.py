@@ -125,6 +125,14 @@ def main(argv=None):
                          " — measured: batch-stats single-image SR loses to "
                          "bilinear on every held-out protocol image, running-"
                          "stats wins on every one (PARITY.md)")
+    ap.add_argument("--true-2x", action="store_true",
+                    help="treat --input as the LOW-RES image and emit a "
+                         "2Hx2W output (overlap mode, gray configs): tiles "
+                         "are extracted at half geometry, bit-identical to "
+                         "the trained regime (infer/tiled.py lr_input). "
+                         "Without this flag the tool runs the reference's "
+                         "eval protocol: degrade internally, restore at the "
+                         "input's own size")
     ap.add_argument("--both-seams", action="store_true",
                     help="overlap mode: intent-mode stitching (interior "
                          "patches keep the top seam outside the left band) "
@@ -205,6 +213,28 @@ def main(argv=None):
         img = _resize_chw(img, args.resize, args.resize)
     hw = img[0] if cfg.nc == 1 else img
     H, W = hw.shape[-2], hw.shape[-1]
+
+    if args.true_2x:
+        if cfg.nc != 1:
+            sys.exit("--true-2x currently supports grayscale configs (nc=1)")
+        from dcgan_sr_tpu.infer.tiled import lr_pad_dim, make_overlap_sr_fn
+        p, ov = cfg.patchSize, cfg.overlap
+        Hp, Wp = lr_pad_dim(H, p, ov), lr_pad_dim(W, p, ov)
+        hw_np = np.asarray(hw)
+        if (Hp, Wp) != (H, W):
+            hw_np = np.pad(hw_np, [(0, Hp - H), (0, Wp - W)], mode="edge")
+            print(f"padded LR {H}x{W} -> {Hp}x{Wp} for overlap tiling")
+        fn = make_overlap_sr_fn(cfg, fine=(2 * Hp, 2 * Wp), lr_input=True,
+                                bn_eval=args.bn_eval,
+                                both_seams=args.both_seams,
+                                self_ensemble=args.self_ensemble,
+                                ensemble_batched=args.ensemble_batched)
+        out = fn(g_params, g_state, np.asarray(hw_np)[None])
+        sr = np.asarray(out["seam"])[0, :2 * H, :2 * W]
+        save_image(args.output, np.clip(np.asarray(to_display(sr)), 0, 1))
+        print(f"true-2x: {H}x{W} -> {2 * H}x{2 * W}")
+        print(f"wrote {args.output}")
+        return
     gen = make_generator_fn(cfg, bn_eval=args.bn_eval,
                             self_ensemble=args.self_ensemble,
                             ensemble_batched=args.ensemble_batched)
