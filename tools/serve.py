@@ -56,7 +56,8 @@ class SRService:
     ready; all jax calls happen on the single dispatcher thread."""
 
     def __init__(self, cfg, g_params, g_state, *, max_size=256, max_batch=8,
-                 window_ms=5.0, bn_eval=True, self_ensemble=1):
+                 window_ms=5.0, bn_eval=True, self_ensemble=1,
+                 compute_dtype=None):
         if cfg.nc != 1:
             raise ValueError("serving currently supports grayscale configs "
                              "(nc=1), like the reference overlap pipeline")
@@ -68,6 +69,7 @@ class SRService:
         self.window_s = float(window_ms) / 1e3
         self.bn_eval = bool(bn_eval)
         self.self_ensemble = int(self_ensemble)
+        self.compute_dtype = compute_dtype
         p, ov = cfg.patchSize, cfg.overlap
         # LR-extent ladder: ~1.5x steps snapped to overlap-legal extents,
         # from the training tile grid (fineSize/2) up to max_size
@@ -99,14 +101,11 @@ class SRService:
         key = (bucket, mode)
         if key not in self._fns:
             from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
-            if mode == "restore":   # reference eval protocol, same-size out
-                self._fns[key] = make_overlap_sr_fn(
-                    self.cfg, fine=(2 * bucket, 2 * bucket), lr_input=False,
-                    bn_eval=self.bn_eval, self_ensemble=self.self_ensemble)
-            else:                   # true-2x: LR in, 2x out
-                self._fns[key] = make_overlap_sr_fn(
-                    self.cfg, fine=(2 * bucket, 2 * bucket), lr_input=True,
-                    bn_eval=self.bn_eval, self_ensemble=self.self_ensemble)
+            self._fns[key] = make_overlap_sr_fn(
+                self.cfg, fine=(2 * bucket, 2 * bucket),
+                lr_input=(mode != "restore"),   # restore = eval protocol
+                bn_eval=self.bn_eval, self_ensemble=self.self_ensemble,
+                compute_dtype=self.compute_dtype)
         return self._fns[key]
 
     def warmup(self, batch_sizes=(1,)):
@@ -291,6 +290,10 @@ def main(argv=None):
                     choices=(1, 2, 4, 8))
     ap.add_argument("--warmup", action="store_true",
                     help="precompile every (bucket, mode) program at startup")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute (the benched training/inference "
+                         "precision; quality delta validated at 0.37 dB "
+                         "over 100 training steps — README)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -326,10 +329,12 @@ def main(argv=None):
     else:
         print("WARNING: no checkpoint given; serving a random-init G")
 
+    import jax.numpy as jnp
     service = SRService(cfg, g_params, g_state, max_size=args.max_size,
                         max_batch=args.max_batch, window_ms=args.window_ms,
                         bn_eval=not args.parity_bn,
-                        self_ensemble=args.self_ensemble)
+                        self_ensemble=args.self_ensemble,
+                        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     if args.warmup:
         t0 = time.perf_counter()
         service.warmup()
