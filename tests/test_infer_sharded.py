@@ -88,3 +88,20 @@ def test_lr_input_rectangular_and_pad_helper():
                              bn_eval=True)(st.g_params, st.g_state, lr)
     assert out["seam"].shape == (2, 2 * h, 2 * w)
     assert np.isfinite(np.asarray(out["seam"])).all()
+
+def test_sharded_lr_input_matches_single():
+    """The serving pipeline (lr_input true-2x) sharded over the mesh must
+    match the single-device result — per-image pipelines are independent."""
+    cfg = get_config("gray-patch-batch-overlap", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(0))
+    lr = jnp.asarray(np.random.RandomState(4).rand(8, 32, 32), jnp.float32)
+
+    single = make_overlap_sr_fn(cfg, lr_input=True, bn_eval=True)(
+        st.g_params, st.g_state, lr)
+    mesh = create_mesh(8)
+    sharded = make_overlap_sr_fn(cfg, mesh=mesh, lr_input=True, bn_eval=True)(
+        st.g_params, st.g_state, lr)
+    np.testing.assert_allclose(np.asarray(sharded["seam"]),
+                               np.asarray(single["seam"]), atol=1e-5)
+    assert sharded["seam"].shape == (8, 64, 64)
+    assert len(sharded["seam"].sharding.device_set) == 8
