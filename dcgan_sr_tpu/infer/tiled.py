@@ -83,10 +83,12 @@ def make_generator_fn(cfg, jit=True, bn_eval=False, self_ensemble=1,
 
 
 def sr_full_image(cfg, gen_fn, params, state, img_hw):
-    """Full-image 2x SR of one (H, W) image; returns (hr_fake, lr) arrays."""
+    """Full-image 2x SR of one (H, W) or (C, H, W) image; returns
+    (hr_fake, lr) arrays with the input's channel layout."""
     lr = box_downsample2(jnp.asarray(img_hw))
-    fake = gen_fn(params, state, lr[None, None])[0, 0]
-    return fake, lr
+    if lr.ndim == 2:                      # (H, W) -> (1, 1, H, W)
+        return gen_fn(params, state, lr[None, None])[0, 0], lr
+    return gen_fn(params, state, lr[None])[0], lr
 
 
 def sr_grid_patches(cfg, gen_fn, params, state, img_hw):
@@ -128,6 +130,62 @@ def sr_overlap_image(cfg, gen_fn, params, state, img_hw, *, both_seams=False,
         seam = jnp.asarray(seam_stitch(np.asarray(fake_tiles), fine, patch, ov,
                                        both_seams=both_seams))
     return {"tiles": fake_tiles, "naive": naive, "seam": seam}
+
+
+def make_full_sr_fn(cfg, *, compute_dtype=None, mesh=None, bn_eval=False,
+                    self_ensemble=1, ensemble_batched=False, lr_input=False):
+    """One jitted program: batched FULL-IMAGE SR of (N, nc, H, W) images.
+
+    The full-image counterpart of make_overlap_sr_fn for the non-patch
+    variants (rgb-full/gray/gray-2/gray-3).  Every one of those generators
+    is a fully-convolutional net-2x map (e.g. train.lua:97-113: three
+    2x FullConvolutions then two stride-2 convolutions), so any integer
+    input extent maps to exactly twice itself:
+
+      lr_input=False (default) runs the reference's eval protocol
+        (train-gray-3.lua:564-580): degrade 2x2-box internally, restore at
+        the input's own (even) size — output matches the input shape.
+      lr_input=True is TRUE 2x upscaling: the batch is LOW-RES input fed
+        straight to the generator, (N, nc, H, W) -> (N, nc, 2H, 2W).
+
+    Inputs and outputs are in the generator's own data range
+    (cfg.data_range: the pm1 variants train on [-1,1], donkey_folder.lua:69)
+    — callers own the conversion, exactly like make_overlap_sr_fn.
+
+    With `mesh`, images shard over the data axis (params/state replicate),
+    mirroring make_overlap_sr_fn's serving topology.
+    """
+    spec = generator_spec(cfg)
+
+    def gen(params, state, lr):
+        out, _ = apply_network(spec, params, lr, state, train=not bn_eval,
+                               compute_dtype=compute_dtype)
+        return out
+
+    if self_ensemble != 1:
+        from .ensemble import self_ensemble as wrap
+        gen = wrap(gen, self_ensemble, batched=ensemble_batched)
+
+    def run(params, state, images):
+        lr = images if lr_input else box_downsample2(images)
+        return gen(params, state, lr)
+
+    if mesh is None:
+        return jax.jit(run)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = cfg.data_axis
+    img_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    jitted = jax.jit(run, in_shardings=(rep, rep, img_sharding),
+                     out_shardings=img_sharding)
+
+    def sharded_run(params, state, images):
+        images = jax.device_put(images, img_sharding)
+        return jitted(params, state, images)
+
+    return sharded_run
 
 
 def lr_pad_dim(d, patch, overlap):

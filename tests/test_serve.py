@@ -86,6 +86,88 @@ def test_oversized_image_fails_cleanly(service):
     assert service.submit(np.zeros((16, 16), np.float32)).shape == (32, 32)
 
 
+@pytest.fixture(scope="module")
+def rgb_service():
+    cfg = get_config("rgb-full", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(0))
+    svc = SRService(cfg, st.g_params, st.g_state, max_size=32, max_batch=4,
+                    window_ms=30.0)
+    yield svc
+    svc.close()
+
+
+def test_full_image_rgb_pm1_matches_direct(rgb_service):
+    """rgb-full serves through the full-image net-2x pipeline with the pm1
+    range conversion inside the service: [0,1] in, [0,1] out, and the G is
+    driven on [-1,1] exactly like the eval harness (harness.py:174)."""
+    from dcgan_sr_tpu.infer.tiled import make_full_sr_fn
+
+    svc = rgb_service
+    rng = np.random.RandomState(7)
+    img = rng.rand(3, 26, 31).astype(np.float32)       # CHW color, ragged
+    out = svc.submit(img)                              # default mode: 2x
+    assert out.shape == (3, 52, 62)
+
+    b = svc.buckets[0]
+    padded = np.pad(img, ((0, 0), (0, b - 26), (0, b - 31)), mode="edge")
+    direct = make_full_sr_fn(svc.cfg, lr_input=True, bn_eval=True)(
+        svc.g_params, svc.g_state, jnp.asarray(padded * 2.0 - 1.0)[None])
+    expected = (np.asarray(direct)[0] + 1.0) * 0.5
+    np.testing.assert_allclose(out, expected[:, :52, :62], atol=1e-5)
+
+
+def test_full_image_rgb_restore_mode(rgb_service):
+    img = np.random.RandomState(8).rand(3, 40, 40).astype(np.float32)
+    out = rgb_service.submit(img, mode="restore")
+    assert out.shape == (3, 40, 40)
+    assert np.isfinite(out).all()
+
+
+def test_full_image_gray3_matches_direct():
+    """A [0,1] full-image variant (gray-3) serves through the same pipeline
+    with no range conversion."""
+    from dcgan_sr_tpu.infer.tiled import make_full_sr_fn
+
+    cfg = get_config("gray-3", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(1))
+    svc = SRService(cfg, st.g_params, st.g_state, max_size=32, max_batch=2,
+                    window_ms=5.0)
+    try:
+        img = np.random.RandomState(9).rand(20, 20).astype(np.float32)
+        out = svc.submit(img)
+        assert out.shape == (40, 40)
+        b = svc.buckets[0]
+        padded = np.pad(img, ((0, b - 20), (0, b - 20)), mode="edge")
+        direct = make_full_sr_fn(cfg, lr_input=True, bn_eval=True)(
+            st.g_params, st.g_state, jnp.asarray(padded)[None, None])
+        np.testing.assert_allclose(
+            out, np.asarray(direct)[0, 0, :40, :40], atol=1e-6)
+    finally:
+        svc.close()
+
+
+def test_http_round_trip_color(rgb_service):
+    from PIL import Image
+
+    srv = make_http_server(rgb_service, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        buf = io.BytesIO()
+        arr = (np.random.RandomState(4).rand(20, 24, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(buf, format="PNG")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/upscale", body=buf.getvalue())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = Image.open(io.BytesIO(resp.read()))
+        assert out.size == (48, 40) and out.mode == "RGB"
+        conn.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_http_round_trip(service):
     from PIL import Image
 

@@ -9,11 +9,17 @@ requests within a short window coalesce into one device dispatch, riding
 the pipeline's measured batch efficiency (docs/attr_variants.md — the
 generator is bandwidth-bound, so batching is nearly free throughput).
 
+Every variant serves: patch configs (gray-patch*, …-overlap) run the
+overlap-tile pipeline; full-image configs (rgb-full/gray/gray-2/gray-3)
+feed the whole image to their fully-convolutional net-2x generator
+(infer/tiled.py make_full_sr_fn). pm1 variants' [-1,1] range conversion
+happens inside the service — HTTP is [0,1] image bytes end to end.
 The compute path is the round-4 recommended quality stack by default:
-true-2x `lr_input` tiling (infer/tiled.py — bit-identical to the trained
-regime) + running-stats BN (`bn_eval`, +5.6 dB over parity BN, PARITY.md)
-+ the flat (N*T)-tile dispatch (measured +15%). Reference lineage:
-train-gray-patch-batch-overlap.lua:377-704 (the tiled pipeline this serves).
+true-2x `lr_input` (bit-identical to the trained regime) + running-stats
+BN (`bn_eval`, +5.6 dB over parity BN, PARITY.md) + the flat (N*T)-tile
+dispatch for patch configs (measured +15%). Reference lineage:
+train-gray-patch-batch-overlap.lua:377-704 (the tiled pipeline),
+train.lua:97-113 (the rgb net-2x generator).
 
   python tools/serve.py --config gray-patch-batch-overlap \
       --ckpt checkpoints/..._net_G.npz --port 8000 --warmup
@@ -58,9 +64,6 @@ class SRService:
     def __init__(self, cfg, g_params, g_state, *, max_size=256, max_batch=8,
                  window_ms=5.0, bn_eval=True, self_ensemble=1,
                  compute_dtype=None):
-        if cfg.nc != 1:
-            raise ValueError("serving currently supports grayscale configs "
-                             "(nc=1), like the reference overlap pipeline")
         from dcgan_sr_tpu.infer.tiled import lr_pad_dim
 
         self.cfg = cfg
@@ -70,16 +73,27 @@ class SRService:
         self.bn_eval = bool(bn_eval)
         self.self_ensemble = int(self_ensemble)
         self.compute_dtype = compute_dtype
-        p, ov = cfg.patchSize, cfg.overlap
-        # LR-extent ladder: ~1.5x steps snapped to overlap-legal extents,
-        # from the training tile grid (fineSize/2) up to max_size
+        # patch variants serve through the overlap-tile pipeline (their G maps
+        # 4x4 tiles); full-image variants (rgb-full/gray/gray-2/gray-3) feed
+        # the whole image to their fully-convolutional net-2x G
+        self.tiled = cfg.patch_based
+        # pm1 variants train on [-1,1] (donkey_folder.lua:69): the service
+        # owns the range conversion so HTTP stays [0,1] bytes end to end
+        self.pm1 = cfg.data_range == "pm1"
+        if self.tiled:
+            p, ov = cfg.patchSize, cfg.overlap
+            snap = lambda d: lr_pad_dim(d, p, ov)  # noqa: E731
+        else:
+            snap = lambda d: d + (d % 2)           # noqa: E731  even extents
+        # LR-extent ladder: ~1.5x steps snapped to pipeline-legal extents,
+        # from the training grid (fineSize/2) up to max_size
         buckets, d = [], cfg.fineSize // 2
         while d < max_size:
-            b = lr_pad_dim(d, p, ov)
+            b = snap(d)
             if not buckets or b > buckets[-1]:
                 buckets.append(b)
             d = int(d * 1.5)
-        self.buckets = buckets + [lr_pad_dim(max_size, p, ov)]
+        self.buckets = buckets + [snap(max_size)]
         self._fns = {}            # (bucket, mode) -> jitted pipeline
         self._q = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "errors": 0}
@@ -98,25 +112,40 @@ class SRService:
                          f"{self.buckets[-1]} (raise --max-size)")
 
     def _fn(self, bucket, mode):
+        """(bucket, mode) -> pipeline(params, state, batch) -> SR batch.
+
+        Tiled: (N, H, W) in / (N, ·, ·) seam-stitched out.  Full-image:
+        (N, nc, H, W) in / out.  Range is the generator's own (see _run_batch).
+        """
         key = (bucket, mode)
         if key not in self._fns:
-            from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
-            self._fns[key] = make_overlap_sr_fn(
-                self.cfg, fine=(2 * bucket, 2 * bucket),
-                lr_input=(mode != "restore"),   # restore = eval protocol
-                bn_eval=self.bn_eval, self_ensemble=self.self_ensemble,
-                compute_dtype=self.compute_dtype)
+            lr_input = mode != "restore"        # restore = eval protocol
+            if self.tiled:
+                from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
+                fn = make_overlap_sr_fn(
+                    self.cfg, fine=(2 * bucket, 2 * bucket),
+                    lr_input=lr_input, bn_eval=self.bn_eval,
+                    self_ensemble=self.self_ensemble,
+                    compute_dtype=self.compute_dtype)
+                self._fns[key] = lambda p, s, x, _fn=fn: _fn(p, s, x)["seam"]
+            else:
+                from dcgan_sr_tpu.infer.tiled import make_full_sr_fn
+                self._fns[key] = make_full_sr_fn(
+                    self.cfg, lr_input=lr_input, bn_eval=self.bn_eval,
+                    self_ensemble=self.self_ensemble,
+                    compute_dtype=self.compute_dtype)
         return self._fns[key]
 
     def warmup(self, batch_sizes=(1,)):
         """Precompile every (bucket, batch) program so no request ever waits
         on the tunnel compile.  Runs ON the dispatcher queue so the single-
         client discipline holds."""
+        shape = (self.cfg.nc,) if self.cfg.nc != 1 else ()
         for b in self.buckets:
             for mode in ("2x", "restore"):
                 for n in batch_sizes:
                     size = b if mode == "2x" else 2 * b
-                    img = np.zeros((size, size), np.float32)
+                    img = np.zeros(shape + (size, size), np.float32)
                     self.submit_many([img] * n, mode)
 
     # -- request path ---------------------------------------------------------
@@ -176,7 +205,7 @@ class SRService:
 
         mode = items[0]["mode"]
         flat = [(it, im) for it in items for im in it["imgs"]]
-        sizes = [im.shape for _, im in flat]
+        sizes = [im.shape[-2:] for _, im in flat]
         mh, mw = (max(h for h, _ in sizes), max(w for _, w in sizes))
         if mode == "2x":            # inputs are LR: bucket them directly
             bucket = self.bucket_for(mh, mw)
@@ -185,7 +214,8 @@ class SRService:
             bucket = self.bucket_for((mh + 1) // 2, (mw + 1) // 2)
             side = 2 * bucket
         batch = np.stack([
-            np.pad(im, ((0, side - im.shape[0]), (0, side - im.shape[1])),
+            np.pad(im, [(0, 0)] * (im.ndim - 2)
+                   + [(0, side - im.shape[-2]), (0, side - im.shape[-1])],
                    mode="edge") for _, im in flat])
         n = len(batch)
         # power-of-two batch bucket bounds the program count; under bn_eval
@@ -193,18 +223,26 @@ class SRService:
         n2 = 1 << (n - 1).bit_length()
         if n2 > n:
             batch = np.concatenate([batch, batch[:1].repeat(n2 - n, axis=0)])
+        if not self.tiled and batch.ndim == 3:   # full pipeline wants NCHW
+            batch = batch[:, None]
+        if self.pm1:                # HTTP is [0,1]; the G trains on [-1,1]
+            batch = batch * 2.0 - 1.0
         out = self._fn(bucket, mode)(self.g_params, self.g_state,
                                      jnp.asarray(batch))
-        seam = np.asarray(out["seam"])[:n]
+        sr = np.asarray(out)[:n]
+        if self.pm1:
+            sr = (sr + 1.0) * 0.5
+        if not self.tiled and self.cfg.nc == 1:
+            sr = sr[:, 0]
         self.stats["requests"] += n
         self.stats["batches"] += 1
         k = 0
         for it in items:
             res = []
             for im in it["imgs"]:
-                h, w = im.shape
+                h, w = im.shape[-2:]
                 oh, ow = (2 * h, 2 * w) if mode == "2x" else (h, w)
-                res.append(seam[k, :oh, :ow])
+                res.append(sr[k][..., :oh, :ow])
                 k += 1
             it["results"] = res
             it["done"].set()
@@ -251,15 +289,18 @@ def make_http_server(service, port=8000, host="127.0.0.1"):
             mode = "restore" if "mode=restore" in query else "2x"
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                img = load_image(io.BytesIO(self.rfile.read(length)), nc=1)[0]
-                sr = service.submit(img, mode)
+                nc = service.cfg.nc
+                img = load_image(io.BytesIO(self.rfile.read(length)), nc=nc)
+                sr = service.submit(img[0] if nc == 1 else img, mode)
             except Exception as e:
                 return self._json(400, {"error": str(e)})
             from PIL import Image
+            out8 = (np.clip(np.round(np.asarray(sr) * 255.0), 0, 255)
+                    .astype(np.uint8))
+            if out8.ndim == 3:                    # CHW -> HWC color PNG
+                out8 = np.moveaxis(out8, 0, -1)
             buf = io.BytesIO()
-            Image.fromarray(
-                np.clip(np.round(np.asarray(sr) * 255.0), 0, 255)
-                .astype(np.uint8)).save(buf, format="PNG")
+            Image.fromarray(out8).save(buf, format="PNG")
             body = buf.getvalue()
             self.send_response(200)
             self.send_header("Content-Type", "image/png")

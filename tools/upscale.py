@@ -42,7 +42,7 @@ def batch_upscale(args, cfg, g_params, g_state):
     import jax.numpy as jnp
 
     from dcgan_sr_tpu.image.io import load_image, save_image
-    from dcgan_sr_tpu.image.ops import box_downsample2, resize_bilinear, to_display
+    from dcgan_sr_tpu.image.ops import box_downsample2, resize_bilinear
     from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn, overlap_pad_dim
     from dcgan_sr_tpu.metrics import cal_psnr
 
@@ -81,15 +81,21 @@ def batch_upscale(args, cfg, g_params, g_state):
                             both_seams=args.both_seams,
                             self_ensemble=args.self_ensemble,
                             ensemble_batched=args.ensemble_batched)
+    # pm1 variants (gray) train on [-1,1] (donkey_folder.lua:69): drive the
+    # pipeline in the generator's range, map back to [0,1] for save/score
+    pm1 = cfg.data_range == "pm1"
     t0 = time.perf_counter()
-    out = fn(g_params, g_state, jnp.asarray(batch))
+    out = fn(g_params, g_state,
+             jnp.asarray(batch * 2.0 - 1.0 if pm1 else batch))
     seam = np.asarray(out["seam"])[:n]
+    if pm1:
+        seam = (seam + 1.0) * 0.5
     dt = time.perf_counter() - t0
     os.makedirs(args.output, exist_ok=True)
     for name, im, (h, w), sr in zip(names, imgs, sizes, seam):
         sr = sr[:h, :w]
         dst = os.path.join(args.output, os.path.splitext(name)[0] + "_sr.png")
-        save_image(dst, np.clip(np.asarray(to_display(sr)), 0, 1))
+        save_image(dst, np.clip(np.asarray(sr), 0, 1))
         bil = np.asarray(resize_bilinear(box_downsample2(im), *im.shape))
         print(f"{name}: {h}x{w}  PSNR(G)={float(cal_psnr(im, sr)):.3f}  "
               f"PSNR(bilinear)={float(cal_psnr(im, bil)):.3f}")
@@ -127,12 +133,13 @@ def main(argv=None):
                          "stats wins on every one (PARITY.md)")
     ap.add_argument("--true-2x", action="store_true",
                     help="treat --input as the LOW-RES image and emit a "
-                         "2Hx2W output (overlap mode, gray configs): tiles "
-                         "are extracted at half geometry, bit-identical to "
-                         "the trained regime (infer/tiled.py lr_input). "
-                         "Without this flag the tool runs the reference's "
-                         "eval protocol: degrade internally, restore at the "
-                         "input's own size")
+                         "2Hx2W output. Patch configs extract tiles at half "
+                         "geometry (bit-identical to the trained regime, "
+                         "infer/tiled.py lr_input); full-image configs "
+                         "(rgb-full/gray/gray-2/gray-3) feed the LR "
+                         "straight to their net-2x G. Without this flag the "
+                         "tool runs the reference's eval protocol: degrade "
+                         "internally, restore at the input's own size")
     ap.add_argument("--both-seams", action="store_true",
                     help="overlap mode: intent-mode stitching (interior "
                          "patches keep the top seam outside the left band) "
@@ -168,7 +175,7 @@ def main(argv=None):
     from dcgan_sr_tpu.core import get_config
     from dcgan_sr_tpu.data.folder import _resize_chw
     from dcgan_sr_tpu.image.io import load_image, save_image
-    from dcgan_sr_tpu.image.ops import box_downsample2, to_display
+    from dcgan_sr_tpu.image.ops import box_downsample2
     from dcgan_sr_tpu.infer.tiled import (make_generator_fn, sr_full_image,
                                           sr_grid_patches, sr_overlap_image)
     from dcgan_sr_tpu.metrics import cal_psnr
@@ -214,24 +221,41 @@ def main(argv=None):
     hw = img[0] if cfg.nc == 1 else img
     H, W = hw.shape[-2], hw.shape[-1]
 
+    # pm1 variants (rgb-full, gray) train on [-1,1] (donkey_folder.lua:69,
+    # trainHook mul(2):add(-1)): drive the generator in its training range
+    # and map the output back to [0,1] for saving/scoring — same discipline
+    # as the eval harness (feeding [0,1] to a pm1 G measured -4 dB, PARITY.md)
+    pm1 = cfg.data_range == "pm1"
+
     if args.true_2x:
-        if cfg.nc != 1:
-            sys.exit("--true-2x currently supports grayscale configs (nc=1)")
-        from dcgan_sr_tpu.infer.tiled import lr_pad_dim, make_overlap_sr_fn
-        p, ov = cfg.patchSize, cfg.overlap
-        Hp, Wp = lr_pad_dim(H, p, ov), lr_pad_dim(W, p, ov)
         hw_np = np.asarray(hw)
-        if (Hp, Wp) != (H, W):
-            hw_np = np.pad(hw_np, [(0, Hp - H), (0, Wp - W)], mode="edge")
-            print(f"padded LR {H}x{W} -> {Hp}x{Wp} for overlap tiling")
-        fn = make_overlap_sr_fn(cfg, fine=(2 * Hp, 2 * Wp), lr_input=True,
-                                bn_eval=args.bn_eval,
-                                both_seams=args.both_seams,
-                                self_ensemble=args.self_ensemble,
-                                ensemble_batched=args.ensemble_batched)
-        out = fn(g_params, g_state, np.asarray(hw_np)[None])
-        sr = np.asarray(out["seam"])[0, :2 * H, :2 * W]
-        save_image(args.output, np.clip(np.asarray(to_display(sr)), 0, 1))
+        if cfg.patch_based:     # overlap-tile true-2x (half-geometry tiles)
+            from dcgan_sr_tpu.infer.tiled import lr_pad_dim, make_overlap_sr_fn
+            p, ov = cfg.patchSize, cfg.overlap
+            Hp, Wp = lr_pad_dim(H, p, ov), lr_pad_dim(W, p, ov)
+            if (Hp, Wp) != (H, W):
+                hw_np = np.pad(hw_np, [(0, Hp - H), (0, Wp - W)], mode="edge")
+                print(f"padded LR {H}x{W} -> {Hp}x{Wp} for overlap tiling")
+            fn = make_overlap_sr_fn(cfg, fine=(2 * Hp, 2 * Wp), lr_input=True,
+                                    bn_eval=args.bn_eval,
+                                    both_seams=args.both_seams,
+                                    self_ensemble=args.self_ensemble,
+                                    ensemble_batched=args.ensemble_batched)
+            net_in = hw_np * 2.0 - 1.0 if pm1 else hw_np
+            sr = np.asarray(fn(g_params, g_state, net_in[None])["seam"])[0]
+        else:                   # full-image net-2x G: feed the LR directly
+            from dcgan_sr_tpu.infer.tiled import make_full_sr_fn
+            fn = make_full_sr_fn(cfg, lr_input=True, bn_eval=args.bn_eval,
+                                 self_ensemble=args.self_ensemble,
+                                 ensemble_batched=args.ensemble_batched)
+            net_in = hw_np * 2.0 - 1.0 if pm1 else hw_np
+            x = net_in[None, None] if cfg.nc == 1 else net_in[None]
+            sr = np.asarray(fn(g_params, g_state, x))[0]
+            sr = sr[0] if cfg.nc == 1 else sr
+        if pm1:
+            sr = (sr + 1.0) * 0.5
+        sr = sr[..., :2 * H, :2 * W]
+        save_image(args.output, np.clip(np.asarray(sr), 0, 1))
         print(f"true-2x: {H}x{W} -> {2 * H}x{2 * W}")
         print(f"wrote {args.output}")
         return
@@ -267,17 +291,20 @@ def main(argv=None):
         hw_np = np.pad(hw_np, pad, mode=pad_mode)
         print(f"padded {H}x{W} -> {Hp}x{Wp} for {mode} tiling")
 
+    net_in = hw_np * 2.0 - 1.0 if pm1 else hw_np
     if mode == "overlap":
-        res = sr_overlap_image(cfg, gen, g_params, g_state, hw_np,
+        res = sr_overlap_image(cfg, gen, g_params, g_state, net_in,
                                both_seams=args.both_seams)
         fake = res["seam"]
     elif mode == "grid":
-        fake = sr_grid_patches(cfg, gen, g_params, g_state, hw_np)
+        fake = sr_grid_patches(cfg, gen, g_params, g_state, net_in)
     else:
-        fake, _ = sr_full_image(cfg, gen, g_params, g_state, hw_np)
+        fake, _ = sr_full_image(cfg, gen, g_params, g_state, net_in)
 
     fake = np.asarray(fake)[..., :H, :W]
-    save_image(args.output, np.clip(np.asarray(to_display(fake)), 0, 1))
+    if pm1:
+        fake = (fake + 1.0) * 0.5
+    save_image(args.output, np.clip(np.asarray(fake), 0, 1))
     from dcgan_sr_tpu.image.ops import resize_bilinear
     bil = np.asarray(resize_bilinear(box_downsample2(hw_np), Hp, Wp))[..., :H, :W]
     hw_n = np.asarray(hw)
