@@ -88,6 +88,26 @@ def test_upscale_batch_dir_sharded(assets):
     assert load_image(os.path.join(outd, "c_sr.png"), nc=1).shape == (1, 40, 24)
 
 
+def test_upscale_batch_dir_full_image_rgb(assets):
+    """Directory batch mode on a FULL-IMAGE pm1 config (rgb-full): one
+    sharded net-2x program over mixed-size color images, pm1 range handled
+    by the tool, outputs cropped back to native sizes."""
+    from dcgan_sr_tpu.image.io import load_image, save_image
+    ind = assets / "batch_rgb_in"
+    ind.mkdir(exist_ok=True)
+    rng = np.random.RandomState(6)
+    save_image(str(ind / "a.png"), rng.rand(3, 30, 34).astype(np.float32))
+    save_image(str(ind / "b.png"), rng.rand(3, 22, 26).astype(np.float32))
+    outd = str(assets / "batch_rgb_out")
+    r = _run(["--config", "rgb-full", "--dp",
+              "--input", str(ind), "--output", outd])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sharded over 8 devices" in r.stdout, r.stdout
+    assert "PSNR(G)=" in r.stdout
+    assert load_image(os.path.join(outd, "a_sr.png"), nc=3).shape == (3, 30, 34)
+    assert load_image(os.path.join(outd, "b_sr.png"), nc=3).shape == (3, 22, 26)
+
+
 def test_upscale_native_size_nonsquare(assets):
     """Arbitrary-size inference: a 90x70 image SRs at native size through the
     overlap path (pad-and-crop), generalizing overlap:387-399's fixed 64."""

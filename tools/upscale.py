@@ -31,11 +31,12 @@ _IMG_EXT = (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".pgm")
 
 
 def batch_upscale(args, cfg, g_params, g_state):
-    """Directory mode: ONE jitted overlap-SR program over all images,
-    optionally sharded over the device mesh (--dp).  Images of mixed sizes
-    are edge-padded to a common overlap-legal (Hp, Wp) and cropped back —
-    the tiled path generalizes by construction
-    (train-gray-patch-batch-overlap.lua:387-399)."""
+    """Directory mode: ONE jitted SR program over all images, optionally
+    sharded over the device mesh (--dp).  Patch configs run the overlap-tile
+    pipeline; full-image configs (rgb-full/gray/gray-2/gray-3) run their
+    net-2x generator on whole images.  Images of mixed sizes are edge-padded
+    to a common pipeline-legal (Hp, Wp) and cropped back — the tiled path
+    generalizes by construction (train-gray-patch-batch-overlap.lua:387-399)."""
     import time
 
     import jax
@@ -43,28 +44,30 @@ def batch_upscale(args, cfg, g_params, g_state):
 
     from dcgan_sr_tpu.image.io import load_image, save_image
     from dcgan_sr_tpu.image.ops import box_downsample2, resize_bilinear
-    from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn, overlap_pad_dim
-    from dcgan_sr_tpu.metrics import cal_psnr
+    from dcgan_sr_tpu.infer.tiled import (make_full_sr_fn, make_overlap_sr_fn,
+                                          overlap_pad_dim)
+    from dcgan_sr_tpu.metrics import cal_psnr, cal_psnr_batch
 
-    if cfg.nc != 1:
-        sys.exit("batch mode currently supports grayscale configs (nc=1)")
     names = sorted(n for n in os.listdir(args.input)
                    if n.lower().endswith(_IMG_EXT))
     if not names:
         sys.exit(f"no images in {args.input}")
-    imgs = [load_image(os.path.join(args.input, n), nc=1)[0] for n in names]
-    sizes = [im.shape for im in imgs]
+    nc, tiled = cfg.nc, cfg.patch_based
+    imgs = [load_image(os.path.join(args.input, n), nc=nc) for n in names]
+    imgs = [im[0] if nc == 1 else im for im in imgs]   # (H,W) / (C,H,W)
+    sizes = [im.shape[-2:] for im in imgs]
 
     p, ov = cfg.patchSize, cfg.overlap
-    q = p - ov
 
     def pad_dim(d):
-        return overlap_pad_dim(d, p, ov)
+        return overlap_pad_dim(d, p, ov) if tiled else d + (d % 2)
 
     Hp = pad_dim(max(h for h, _ in sizes))
     Wp = pad_dim(max(w for _, w in sizes))
-    batch = np.stack([np.pad(im, ((0, Hp - im.shape[0]), (0, Wp - im.shape[1])),
-                             mode="edge") for im in imgs])
+    batch = np.stack([
+        np.pad(im, [(0, 0)] * (im.ndim - 2)
+               + [(0, Hp - im.shape[-2]), (0, Wp - im.shape[-1])],
+               mode="edge") for im in imgs])
 
     mesh = None
     n = len(batch)
@@ -76,29 +79,46 @@ def batch_upscale(args, cfg, g_params, g_state):
         if pad_n:
             reps = np.concatenate([batch] * (1 + pad_n // n))
             batch = np.concatenate([batch, reps[:pad_n]])
-    fn = make_overlap_sr_fn(cfg, mesh=mesh, fine=(Hp, Wp),
-                            bn_eval=args.bn_eval,
-                            both_seams=args.both_seams,
-                            self_ensemble=args.self_ensemble,
-                            ensemble_batched=args.ensemble_batched)
-    # pm1 variants (gray) train on [-1,1] (donkey_folder.lua:69): drive the
-    # pipeline in the generator's range, map back to [0,1] for save/score
+    if tiled:
+        ov_fn = make_overlap_sr_fn(cfg, mesh=mesh, fine=(Hp, Wp),
+                                   bn_eval=args.bn_eval,
+                                   both_seams=args.both_seams,
+                                   self_ensemble=args.self_ensemble,
+                                   ensemble_batched=args.ensemble_batched)
+        fn = lambda pp, ss, x: ov_fn(pp, ss, x)["seam"]  # noqa: E731
+    else:
+        full_fn = make_full_sr_fn(cfg, mesh=mesh, bn_eval=args.bn_eval,
+                                  self_ensemble=args.self_ensemble,
+                                  ensemble_batched=args.ensemble_batched)
+        if nc == 1:
+            fn = lambda pp, ss, x: full_fn(pp, ss, x[:, None])[:, 0]  # noqa: E731
+        else:
+            fn = full_fn
+    # pm1 variants (rgb-full, gray) train on [-1,1] (donkey_folder.lua:69):
+    # drive the pipeline in the generator's range, map back for save/score
     pm1 = cfg.data_range == "pm1"
     t0 = time.perf_counter()
     out = fn(g_params, g_state,
              jnp.asarray(batch * 2.0 - 1.0 if pm1 else batch))
-    seam = np.asarray(out["seam"])[:n]
+    sr_all = np.asarray(out)[:n]
     if pm1:
-        seam = (seam + 1.0) * 0.5
+        sr_all = (sr_all + 1.0) * 0.5
     dt = time.perf_counter() - t0
     os.makedirs(args.output, exist_ok=True)
-    for name, im, (h, w), sr in zip(names, imgs, sizes, seam):
-        sr = sr[:h, :w]
+
+    def psnr(a, b):
+        if nc == 1:
+            return float(cal_psnr(a, b))
+        # multi-channel: per-channel PSNR averaged (the harness's convention)
+        return float(np.asarray(cal_psnr_batch(a, b)).mean())
+
+    for name, im, (h, w), sr in zip(names, imgs, sizes, sr_all):
+        sr = sr[..., :h, :w]
         dst = os.path.join(args.output, os.path.splitext(name)[0] + "_sr.png")
         save_image(dst, np.clip(np.asarray(sr), 0, 1))
-        bil = np.asarray(resize_bilinear(box_downsample2(im), *im.shape))
-        print(f"{name}: {h}x{w}  PSNR(G)={float(cal_psnr(im, sr)):.3f}  "
-              f"PSNR(bilinear)={float(cal_psnr(im, bil)):.3f}")
+        bil = np.asarray(resize_bilinear(box_downsample2(im), h, w))
+        print(f"{name}: {h}x{w}  PSNR(G)={psnr(im, sr):.3f}  "
+              f"PSNR(bilinear)={psnr(im, bil):.3f}")
     mp = sum(h * w for h, w in sizes) / 1e6
     print(f"batch: {n} images ({mp:.2f} MP) in {dt:.2f}s incl. compile "
           f"({'sharded over ' + str(len(jax.devices())) + ' devices' if mesh is not None else 'single device'})")
@@ -111,8 +131,10 @@ def main(argv=None):
     ap.add_argument("--t7", help="reference Torch checkpoint (net_G.t7)")
     ap.add_argument("--input", required=True,
                     help="image file (any size), or a DIRECTORY of images "
-                         "for batch mode (one jitted sharded overlap-SR "
-                         "program over all images; requires a gray config)")
+                         "for batch mode: ONE jitted (optionally sharded) SR "
+                         "program over all images — overlap-tile pipeline "
+                         "for patch configs, full-image net-2x G for "
+                         "rgb-full/gray/gray-2/gray-3")
     ap.add_argument("--output", required=True,
                     help="output PNG path (batch mode: output directory)")
     ap.add_argument("--dp", action="store_true",
