@@ -86,6 +86,32 @@ def test_oversized_image_fails_cleanly(service):
     assert service.submit(np.zeros((16, 16), np.float32)).shape == (32, 32)
 
 
+def test_rect_buckets_per_dimension():
+    """Buckets snap per DIMENSION: a wide image lands on a rectangular
+    (bh, bw) program instead of paying square padding, and the result is
+    exact vs the direct rectangular pipeline."""
+    cfg = get_config("gray-patch-batch-overlap", env_override=False,
+                     fineSize=32, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(2))
+    svc = SRService(cfg, st.g_params, st.g_state, max_size=32, max_batch=2,
+                    window_ms=5.0)
+    try:
+        assert len(svc.buckets) >= 2          # a real ladder, not one rung
+        img = np.random.RandomState(11).rand(10, 28).astype(np.float32)
+        out = svc.submit(img)
+        assert out.shape == (20, 56)
+        bh, bw = svc.bucket_for(10, 28)
+        assert bh < bw                        # rectangular pair was chosen
+        padded = np.pad(img, ((0, bh - 10), (0, bw - 28)), mode="edge")
+        direct = make_overlap_sr_fn(cfg, fine=(2 * bh, 2 * bw), lr_input=True,
+                                    bn_eval=True)(
+            st.g_params, st.g_state, jnp.asarray(padded)[None])
+        np.testing.assert_allclose(
+            out, np.asarray(direct["seam"])[0, :20, :56], atol=1e-6)
+    finally:
+        svc.close()
+
+
 @pytest.fixture(scope="module")
 def rgb_service():
     cfg = get_config("rgb-full", env_override=False, **TINY)

@@ -32,10 +32,12 @@ Endpoints:
                      same-size output).
   GET  /healthz      JSON: ready, compiled buckets, request/batch counters.
 
-Static shapes are an XLA requirement, not an implementation detail: inputs
-are edge-padded to a small ladder of overlap-legal square buckets and
-batches to power-of-two sizes, so the steady-state program count is
-O(buckets x log(max_batch)) and every request after warmup is a cache hit.
+Static shapes are an XLA requirement, not an implementation detail: each
+input dimension is edge-padded to a small ladder of pipeline-legal bucket
+extents (PER dimension — non-square inputs don't pay square padding) and
+batches to power-of-two sizes; --warmup precompiles the square pairs and
+rectangular pairs compile lazily on first hit, so the steady-state program
+count stays small and every repeat shape is a cache hit.
 """
 
 import argparse
@@ -104,26 +106,31 @@ class SRService:
     # -- shape discipline ---------------------------------------------------
 
     def bucket_for(self, h, w):
-        d = max(h, w)
-        for b in self.buckets:
-            if b >= d:
-                return b
-        raise ValueError(f"image {h}x{w} exceeds max bucket "
-                         f"{self.buckets[-1]} (raise --max-size)")
+        """Smallest ladder pair (bh, bw) covering (h, w) — per DIMENSION,
+        so non-square inputs don't pay square padding (both pipelines take
+        rectangular extents; a 3:2 photo on a square bucket would waste
+        ~1.5x compute, a 4:1 panorama ~4x)."""
+        def snap1(d):
+            for b in self.buckets:
+                if b >= d:
+                    return b
+            raise ValueError(f"image {h}x{w} exceeds max bucket "
+                             f"{self.buckets[-1]} (raise --max-size)")
+        return snap1(h), snap1(w)
 
-    def _fn(self, bucket, mode):
-        """(bucket, mode) -> pipeline(params, state, batch) -> SR batch.
+    def _fn(self, bh, bw, mode):
+        """(bh, bw, mode) -> pipeline(params, state, batch) -> SR batch.
 
         Tiled: (N, H, W) in / (N, ·, ·) seam-stitched out.  Full-image:
         (N, nc, H, W) in / out.  Range is the generator's own (see _run_batch).
         """
-        key = (bucket, mode)
+        key = (bh, bw, mode)
         if key not in self._fns:
             lr_input = mode != "restore"        # restore = eval protocol
             if self.tiled:
                 from dcgan_sr_tpu.infer.tiled import make_overlap_sr_fn
                 fn = make_overlap_sr_fn(
-                    self.cfg, fine=(2 * bucket, 2 * bucket),
+                    self.cfg, fine=(2 * bh, 2 * bw),
                     lr_input=lr_input, bn_eval=self.bn_eval,
                     self_ensemble=self.self_ensemble,
                     compute_dtype=self.compute_dtype)
@@ -137,9 +144,10 @@ class SRService:
         return self._fns[key]
 
     def warmup(self, batch_sizes=(1,)):
-        """Precompile every (bucket, batch) program so no request ever waits
-        on the tunnel compile.  Runs ON the dispatcher queue so the single-
-        client discipline holds."""
+        """Precompile the SQUARE (bucket, mode, batch) programs so typical
+        requests never wait on the tunnel compile; rectangular bucket pairs
+        (there are O(buckets^2) of them) compile lazily on first hit.  Runs
+        ON the dispatcher queue so the single-client discipline holds."""
         shape = (self.cfg.nc,) if self.cfg.nc != 1 else ()
         for b in self.buckets:
             for mode in ("2x", "restore"):
@@ -208,14 +216,14 @@ class SRService:
         sizes = [im.shape[-2:] for _, im in flat]
         mh, mw = (max(h for h, _ in sizes), max(w for _, w in sizes))
         if mode == "2x":            # inputs are LR: bucket them directly
-            bucket = self.bucket_for(mh, mw)
-            side = bucket
+            bh, bw = self.bucket_for(mh, mw)
+            side_h, side_w = bh, bw
         else:                       # restore inputs are at OUTPUT (2x) scale
-            bucket = self.bucket_for((mh + 1) // 2, (mw + 1) // 2)
-            side = 2 * bucket
+            bh, bw = self.bucket_for((mh + 1) // 2, (mw + 1) // 2)
+            side_h, side_w = 2 * bh, 2 * bw
         batch = np.stack([
             np.pad(im, [(0, 0)] * (im.ndim - 2)
-                   + [(0, side - im.shape[-2]), (0, side - im.shape[-1])],
+                   + [(0, side_h - im.shape[-2]), (0, side_w - im.shape[-1])],
                    mode="edge") for _, im in flat])
         n = len(batch)
         # power-of-two batch bucket bounds the program count; under bn_eval
@@ -227,7 +235,7 @@ class SRService:
             batch = batch[:, None]
         if self.pm1:                # HTTP is [0,1]; the G trains on [-1,1]
             batch = batch * 2.0 - 1.0
-        out = self._fn(bucket, mode)(self.g_params, self.g_state,
+        out = self._fn(bh, bw, mode)(self.g_params, self.g_state,
                                      jnp.asarray(batch))
         sr = np.asarray(out)[:n]
         if self.pm1:
@@ -278,7 +286,8 @@ def make_http_server(service, port=8000, host="127.0.0.1"):
                 "ready": True,
                 "config": service.cfg.variant,
                 "buckets_lr": service.buckets,
-                "compiled": sorted(f"{b}:{m}" for b, m in service._fns),
+                "compiled": sorted(f"{bh}x{bw}:{m}"
+                                   for bh, bw, m in service._fns),
                 **service.stats,
             })
 
