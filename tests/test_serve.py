@@ -79,6 +79,28 @@ def test_concurrent_requests_coalesce_into_batches(service):
     np.testing.assert_allclose(results[2], solo, atol=1e-6)
 
 
+def test_mixed_mode_requests_requeue(service):
+    """Concurrent 2x and restore requests must not coalesce (different
+    programs): the dispatcher requeues the other mode and serves both."""
+    lr = np.random.RandomState(20).rand(16, 16).astype(np.float32)
+    hr = np.random.RandomState(21).rand(32, 32).astype(np.float32)
+    results = {}
+
+    def post(key, img, mode):
+        results[key] = service.submit(img, mode)
+
+    threads = [threading.Thread(target=post, args=("a", lr, "2x")),
+               threading.Thread(target=post, args=("b", hr, "restore")),
+               threading.Thread(target=post, args=("c", lr, "2x"))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results["a"].shape == (32, 32)
+    assert results["b"].shape == (32, 32)
+    np.testing.assert_allclose(results["a"], results["c"], atol=1e-6)
+
+
 def test_oversized_image_fails_cleanly(service):
     with pytest.raises(ValueError, match="exceeds max bucket"):
         service.submit(np.zeros((80, 80), np.float32))
