@@ -96,9 +96,10 @@ class SRService:
                 buckets.append(b)
             d = int(d * 1.5)
         self.buckets = buckets + [snap(max_size)]
-        self._fns = {}            # (bucket, mode) -> jitted pipeline
+        self._fns = {}            # (bh, bw, mode) -> jitted pipeline
         self._q = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "errors": 0}
+        self._lat_ms = []         # last N batch dispatch latencies (host wall)
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
         self._thread.start()
@@ -235,9 +236,12 @@ class SRService:
             batch = batch[:, None]
         if self.pm1:                # HTTP is [0,1]; the G trains on [-1,1]
             batch = batch * 2.0 - 1.0
+        t0 = time.monotonic()
         out = self._fn(bh, bw, mode)(self.g_params, self.g_state,
                                      jnp.asarray(batch))
-        sr = np.asarray(out)[:n]
+        sr = np.asarray(out)[:n]          # host fetch closes the dispatch
+        self._lat_ms.append((time.monotonic() - t0) * 1e3)
+        del self._lat_ms[:-256]           # ring of recent batch latencies
         if self.pm1:
             sr = (sr + 1.0) * 0.5
         if not self.tiled and self.cfg.nc == 1:
@@ -282,6 +286,9 @@ def make_http_server(service, port=8000, host="127.0.0.1"):
         def do_GET(self):
             if self.path.split("?")[0] != "/healthz":
                 return self._json(404, {"error": "unknown path"})
+            lat = sorted(service._lat_ms)
+            pct = (lambda q: round(lat[int(q * (len(lat) - 1))], 1)) \
+                if lat else (lambda q: None)
             self._json(200, {
                 "ready": True,
                 "config": service.cfg.variant,
@@ -289,6 +296,9 @@ def make_http_server(service, port=8000, host="127.0.0.1"):
                 "compiled": sorted(f"{bh}x{bw}:{m}"
                                    for bh, bw, m in service._fns),
                 **service.stats,
+                # batch-dispatch wall latency over the recent ring (ms);
+                # the first entries after a cold start include XLA compiles
+                "batch_ms_p50": pct(0.5), "batch_ms_p95": pct(0.95),
             })
 
         def do_POST(self):
