@@ -134,6 +134,26 @@ def test_rect_buckets_per_dimension():
         svc.close()
 
 
+def test_rect_warmup_precompiles_all_pairs():
+    """warmup(rect=True) compiles every (bh, bw) ladder pair x mode, so a
+    later non-square request is a program-cache hit (no new compile)."""
+    cfg = get_config("gray-3", env_override=False, fineSize=16, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(3))
+    svc = SRService(cfg, st.g_params, st.g_state, max_size=12, max_batch=2,
+                    window_ms=5.0)
+    try:
+        assert len(svc.buckets) == 2
+        svc.warmup(rect=True)
+        assert len(svc._fns) == len(svc.buckets) ** 2 * 2   # x two modes
+        n_before = len(svc._fns)
+        out = svc.submit(np.random.RandomState(12)
+                         .rand(6, 10).astype(np.float32))
+        assert out.shape == (12, 20) and np.isfinite(out).all()
+        assert len(svc._fns) == n_before                    # cache hit
+    finally:
+        svc.close()
+
+
 @pytest.fixture(scope="module")
 def rgb_service():
     cfg = get_config("rgb-full", env_override=False, **TINY)

@@ -35,9 +35,10 @@ Endpoints:
 Static shapes are an XLA requirement, not an implementation detail: each
 input dimension is edge-padded to a small ladder of pipeline-legal bucket
 extents (PER dimension — non-square inputs don't pay square padding) and
-batches to power-of-two sizes; --warmup precompiles the square pairs and
-rectangular pairs compile lazily on first hit, so the steady-state program
-count stays small and every repeat shape is a cache hit.
+batches to power-of-two sizes; --warmup precompiles the square pairs
+(rectangular pairs compile lazily on first hit; --warmup-rect precompiles
+those too), so the steady-state program count stays small and every repeat
+shape is a cache hit.
 """
 
 import argparse
@@ -144,17 +145,21 @@ class SRService:
                     compute_dtype=self.compute_dtype)
         return self._fns[key]
 
-    def warmup(self, batch_sizes=(1,)):
+    def warmup(self, batch_sizes=(1,), rect=False):
         """Precompile the SQUARE (bucket, mode, batch) programs so typical
-        requests never wait on the tunnel compile; rectangular bucket pairs
-        (there are O(buckets^2) of them) compile lazily on first hit.  Runs
-        ON the dispatcher queue so the single-client discipline holds."""
+        requests never wait on the tunnel compile; with rect=True, ALL
+        (bh, bw) ladder pairs (O(buckets^2) programs — each is a 1-3 min
+        tunnel compile cold, so opt-in) so the first non-square request is
+        a cache hit too.  Runs ON the dispatcher queue so the single-client
+        discipline holds."""
         shape = (self.cfg.nc,) if self.cfg.nc != 1 else ()
-        for b in self.buckets:
+        pairs = ([(bh, bw) for bh in self.buckets for bw in self.buckets]
+                 if rect else [(b, b) for b in self.buckets])
+        for bh, bw in pairs:
             for mode in ("2x", "restore"):
                 for n in batch_sizes:
-                    size = b if mode == "2x" else 2 * b
-                    img = np.zeros(shape + (size, size), np.float32)
+                    sh, sw = (bh, bw) if mode == "2x" else (2 * bh, 2 * bw)
+                    img = np.zeros(shape + (sh, sw), np.float32)
                     self.submit_many([img] * n, mode)
 
     # -- request path ---------------------------------------------------------
@@ -349,7 +354,13 @@ def main(argv=None):
     ap.add_argument("--self-ensemble", type=int, default=1,
                     choices=(1, 2, 4, 8))
     ap.add_argument("--warmup", action="store_true",
-                    help="precompile every (bucket, mode) program at startup")
+                    help="precompile every square (bucket, mode) program at "
+                         "startup")
+    ap.add_argument("--warmup-rect", action="store_true",
+                    help="also precompile every RECTANGULAR (bh, bw) ladder "
+                         "pair (O(buckets^2) programs, each a 1-3 min tunnel "
+                         "compile cold) so non-square first requests never "
+                         "stall")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute (the benched training/inference "
                          "precision; quality delta validated at 0.37 dB "
@@ -395,9 +406,9 @@ def main(argv=None):
                         bn_eval=not args.parity_bn,
                         self_ensemble=args.self_ensemble,
                         compute_dtype=jnp.bfloat16 if args.bf16 else None)
-    if args.warmup:
+    if args.warmup or args.warmup_rect:
         t0 = time.perf_counter()
-        service.warmup()
+        service.warmup(rect=args.warmup_rect)
         print(f"warmup: {len(service._fns)} programs compiled in "
               f"{time.perf_counter() - t0:.1f}s")
     srv = make_http_server(service, args.port, args.host)
