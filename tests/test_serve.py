@@ -101,6 +101,33 @@ def test_mixed_mode_requests_requeue(service):
     np.testing.assert_allclose(results["a"], results["c"], atol=1e-6)
 
 
+def test_oversized_request_does_not_poison_coalesced_batch(service):
+    """An oversized image raises to ITS OWN requester at submit time; a
+    concurrent valid request that would have coalesced into the same
+    dispatch window still succeeds."""
+    lr = np.random.RandomState(30).rand(16, 16).astype(np.float32)
+    outcome = {}
+
+    def post_valid():
+        outcome["valid"] = service.submit(lr)
+
+    def post_oversized():
+        try:
+            service.submit(np.zeros((80, 80), np.float32))
+            outcome["oversized"] = "no error"
+        except ValueError as e:
+            outcome["oversized"] = e
+
+    threads = [threading.Thread(target=post_valid),
+               threading.Thread(target=post_oversized)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcome["valid"].shape == (32, 32)
+    assert isinstance(outcome["oversized"], ValueError)
+
+
 def test_oversized_image_fails_cleanly(service):
     with pytest.raises(ValueError, match="exceeds max bucket"):
         service.submit(np.zeros((80, 80), np.float32))

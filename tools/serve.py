@@ -170,6 +170,13 @@ class SRService:
         return self.submit_many([img_hw], mode)[0]
 
     def submit_many(self, imgs, mode="2x"):
+        # validate HERE, in the caller's thread: an oversized image must
+        # raise to its own requester, not poison a coalesced batch (the
+        # dispatcher buckets on the max extent over all batched requests)
+        for im in imgs:
+            h, w = im.shape[-2:]
+            self.bucket_for(*((h, w) if mode == "2x"
+                              else ((h + 1) // 2, (w + 1) // 2)))
         done = threading.Event()
         item = {"imgs": imgs, "mode": mode, "done": done}
         self._q.put(item)
