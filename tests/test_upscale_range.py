@@ -72,6 +72,32 @@ def test_protocol_mode_pm1_range(variant, tmp_path, monkeypatch):
     np.testing.assert_allclose(got, want, atol=Q)
 
 
+def test_true_2x_batch_dir(tmp_path, monkeypatch):
+    """--true-2x over a DIRECTORY: one program over mixed-size LR color
+    images, every output 2Hx2W in [0,1]; the max-size image enters unpadded
+    so it must match the direct bn_eval net-2x computation exactly."""
+    from dcgan_sr_tpu.models import apply_network, generator_spec
+
+    rng = np.random.RandomState(7)
+    ind, outd = tmp_path / "in", tmp_path / "out"
+    ind.mkdir()
+    save_image(str(ind / "big.png"), rng.rand(3, 20, 24).astype(np.float32))
+    save_image(str(ind / "small.png"), rng.rand(3, 12, 16).astype(np.float32))
+    _tool(monkeypatch, ["--config", "rgb-full", "--true-2x", "--bn-eval",
+                        "--input", str(ind), "--output", str(outd)])
+    assert load_image(str(outd / "small_sr.png"), nc=3).shape == (3, 24, 32)
+    big = load_image(str(outd / "big_sr.png"), nc=3)
+    assert big.shape == (3, 40, 48)
+
+    cfg = get_config("rgb-full", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(load_image(str(ind / "big.png"), nc=3) * 2.0 - 1.0)[None]
+    fake, _ = apply_network(generator_spec(cfg), st.g_params, x, st.g_state,
+                            train=False)
+    want = np.clip((np.asarray(fake[0]) + 1.0) * 0.5, 0.0, 1.0)
+    np.testing.assert_allclose(big, want, atol=Q)
+
+
 def test_true_2x_full_image_rgb(tmp_path, monkeypatch):
     """--true-2x on a full-image variant feeds the LR straight to the net-2x
     G (any size), in the pm1 training range, and emits 2Hx2W color."""

@@ -88,6 +88,28 @@ def test_upscale_batch_dir_sharded(assets):
     assert load_image(os.path.join(outd, "c_sr.png"), nc=1).shape == (1, 40, 24)
 
 
+def test_upscale_batch_dir_true_2x_tiled(assets):
+    """Directory batch mode with --true-2x on a patch config: LR inputs are
+    padded to lr-legal extents, tiled at half geometry, and every output is
+    2Hx2W (no PSNR lines — the input IS the LR, there is no ground truth)."""
+    from dcgan_sr_tpu.image.io import load_image, save_image
+    ind = assets / "batch_2x_in"
+    ind.mkdir(exist_ok=True)
+    rng = np.random.RandomState(9)
+    save_image(str(ind / "a.png"), rng.rand(24, 24).astype(np.float32))
+    save_image(str(ind / "b.png"), rng.rand(18, 22).astype(np.float32))
+    outd = str(assets / "batch_2x_out")
+    r = _run(["--config", "gray-patch-batch-overlap", "--dp", "--true-2x",
+              "--t7", str(assets / "ref_net_G.t7"),
+              "--input", str(ind), "--output", outd])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sharded over 8 devices" in r.stdout, r.stdout
+    assert "PSNR" not in r.stdout
+    assert "a.png: 24x24 -> 48x48" in r.stdout
+    assert load_image(os.path.join(outd, "a_sr.png"), nc=1).shape == (1, 48, 48)
+    assert load_image(os.path.join(outd, "b_sr.png"), nc=1).shape == (1, 36, 44)
+
+
 def test_upscale_batch_dir_full_image_rgb(assets):
     """Directory batch mode on a FULL-IMAGE pm1 config (rgb-full): one
     sharded net-2x program over mixed-size color images, pm1 range handled

@@ -36,7 +36,11 @@ def batch_upscale(args, cfg, g_params, g_state):
     pipeline; full-image configs (rgb-full/gray/gray-2/gray-3) run their
     net-2x generator on whole images.  Images of mixed sizes are edge-padded
     to a common pipeline-legal (Hp, Wp) and cropped back — the tiled path
-    generalizes by construction (train-gray-patch-batch-overlap.lua:387-399)."""
+    generalizes by construction (train-gray-patch-batch-overlap.lua:387-399).
+
+    Default is the reference's eval protocol (degrade internally, restore at
+    native size, PSNR vs the originals); --true-2x treats every image as
+    LOW-RES and emits 2Hx2W outputs (no ground truth, so no PSNR lines)."""
     import time
 
     import jax
@@ -44,8 +48,8 @@ def batch_upscale(args, cfg, g_params, g_state):
 
     from dcgan_sr_tpu.image.io import load_image, save_image
     from dcgan_sr_tpu.image.ops import box_downsample2, resize_bilinear
-    from dcgan_sr_tpu.infer.tiled import (make_full_sr_fn, make_overlap_sr_fn,
-                                          overlap_pad_dim)
+    from dcgan_sr_tpu.infer.tiled import (lr_pad_dim, make_full_sr_fn,
+                                          make_overlap_sr_fn, overlap_pad_dim)
     from dcgan_sr_tpu.metrics import cal_psnr, cal_psnr_batch
 
     names = sorted(n for n in os.listdir(args.input)
@@ -60,6 +64,10 @@ def batch_upscale(args, cfg, g_params, g_state):
     p, ov = cfg.patchSize, cfg.overlap
 
     def pad_dim(d):
+        if args.true_2x:
+            # LR inputs: overlap tiling needs lr-legal extents; the net-2x
+            # full-image G maps any integer extent to exactly twice itself
+            return lr_pad_dim(d, p, ov) if tiled else d
         return overlap_pad_dim(d, p, ov) if tiled else d + (d % 2)
 
     Hp = pad_dim(max(h for h, _ in sizes))
@@ -80,14 +88,17 @@ def batch_upscale(args, cfg, g_params, g_state):
             reps = np.concatenate([batch] * (1 + pad_n // n))
             batch = np.concatenate([batch, reps[:pad_n]])
     if tiled:
-        ov_fn = make_overlap_sr_fn(cfg, mesh=mesh, fine=(Hp, Wp),
+        fine = (2 * Hp, 2 * Wp) if args.true_2x else (Hp, Wp)
+        ov_fn = make_overlap_sr_fn(cfg, mesh=mesh, fine=fine,
+                                   lr_input=args.true_2x,
                                    bn_eval=args.bn_eval,
                                    both_seams=args.both_seams,
                                    self_ensemble=args.self_ensemble,
                                    ensemble_batched=args.ensemble_batched)
         fn = lambda pp, ss, x: ov_fn(pp, ss, x)["seam"]  # noqa: E731
     else:
-        full_fn = make_full_sr_fn(cfg, mesh=mesh, bn_eval=args.bn_eval,
+        full_fn = make_full_sr_fn(cfg, mesh=mesh, lr_input=args.true_2x,
+                                  bn_eval=args.bn_eval,
                                   self_ensemble=args.self_ensemble,
                                   ensemble_batched=args.ensemble_batched)
         if nc == 1:
@@ -112,14 +123,18 @@ def batch_upscale(args, cfg, g_params, g_state):
         # multi-channel: per-channel PSNR averaged (the harness's convention)
         return float(np.asarray(cal_psnr_batch(a, b)).mean())
 
+    scale = 2 if args.true_2x else 1
     for name, im, (h, w), sr in zip(names, imgs, sizes, sr_all):
-        sr = sr[..., :h, :w]
+        sr = sr[..., :scale * h, :scale * w]
         dst = os.path.join(args.output, os.path.splitext(name)[0] + "_sr.png")
         save_image(dst, np.clip(np.asarray(sr), 0, 1))
-        bil = np.asarray(resize_bilinear(box_downsample2(im), h, w))
-        print(f"{name}: {h}x{w}  PSNR(G)={psnr(im, sr):.3f}  "
-              f"PSNR(bilinear)={psnr(im, bil):.3f}")
-    mp = sum(h * w for h, w in sizes) / 1e6
+        if args.true_2x:    # input IS the LR — no ground truth to score
+            print(f"{name}: {h}x{w} -> {scale * h}x{scale * w}")
+        else:
+            bil = np.asarray(resize_bilinear(box_downsample2(im), h, w))
+            print(f"{name}: {h}x{w}  PSNR(G)={psnr(im, sr):.3f}  "
+                  f"PSNR(bilinear)={psnr(im, bil):.3f}")
+    mp = sum(scale * scale * h * w for h, w in sizes) / 1e6
     print(f"batch: {n} images ({mp:.2f} MP) in {dt:.2f}s incl. compile "
           f"({'sharded over ' + str(len(jax.devices())) + ' devices' if mesh is not None else 'single device'})")
 
@@ -154,8 +169,9 @@ def main(argv=None):
                          "bilinear on every held-out protocol image, running-"
                          "stats wins on every one (PARITY.md)")
     ap.add_argument("--true-2x", action="store_true",
-                    help="treat --input as the LOW-RES image and emit a "
-                         "2Hx2W output. Patch configs extract tiles at half "
+                    help="treat --input as the LOW-RES image (or directory "
+                         "of LR images) and emit 2Hx2W output. Patch "
+                         "configs extract tiles at half "
                          "geometry (bit-identical to the trained regime, "
                          "infer/tiled.py lr_input); full-image configs "
                          "(rgb-full/gray/gray-2/gray-3) feed the LR "
