@@ -128,6 +128,20 @@ def test_oversized_request_does_not_poison_coalesced_batch(service):
     assert isinstance(outcome["oversized"], ValueError)
 
 
+def test_submit_validation_shape_class_and_messages(service):
+    """submit-time validation rejects wrong-rank/channel images (they would
+    poison np.stack in a coalesced batch), reports restore oversizes at the
+    size the CLIENT sent, and keeps rejections on the errors counter."""
+    e0 = service.stats["errors"]
+    with pytest.raises(ValueError, match="expects"):
+        service.submit(np.zeros((3, 16, 16), np.float32))   # nc=1 service
+    with pytest.raises(ValueError, match="600x600"):
+        service.submit(np.zeros((600, 600), np.float32), mode="restore")
+    assert service.stats["errors"] == e0 + 2
+    # the service still works after rejections
+    assert service.submit(np.zeros((16, 16), np.float32)).shape == (32, 32)
+
+
 def test_oversized_image_fails_cleanly(service):
     with pytest.raises(ValueError, match="exceeds max bucket"):
         service.submit(np.zeros((80, 80), np.float32))

@@ -72,6 +72,23 @@ def test_protocol_mode_pm1_range(variant, tmp_path, monkeypatch):
     np.testing.assert_allclose(got, want, atol=Q)
 
 
+def test_batch_dir_restore_odd_sizes(tmp_path, monkeypatch, capsys):
+    """Directory restore-protocol mode on ODD-size images: the bilinear
+    baseline must come from the padded batch (box_downsample2 requires even
+    extents — the original unpadded image crashed it)."""
+    rng = np.random.RandomState(8)
+    ind, outd = tmp_path / "in", tmp_path / "out"
+    ind.mkdir()
+    save_image(str(ind / "odd.png"), rng.rand(25, 31).astype(np.float32))
+    save_image(str(ind / "even.png"), rng.rand(24, 30).astype(np.float32))
+    _tool(monkeypatch, ["--config", "gray-3",
+                        "--input", str(ind), "--output", str(outd)])
+    out = capsys.readouterr().out
+    assert out.count("PSNR(bilinear)=") == 2
+    assert load_image(str(outd / "odd_sr.png"), nc=1).shape == (1, 25, 31)
+    assert load_image(str(outd / "even_sr.png"), nc=1).shape == (1, 24, 30)
+
+
 def test_true_2x_batch_dir(tmp_path, monkeypatch):
     """--true-2x over a DIRECTORY: one program over mixed-size LR color
     images, every output 2Hx2W in [0,1]; the max-size image enters unpadded

@@ -120,6 +120,35 @@ class SRService:
                              f"{self.buckets[-1]} (raise --max-size)")
         return snap1(h), snap1(w)
 
+    @staticmethod
+    def _lr_extent(h, w, mode):
+        """LR extents a (h, w) request occupies — the ONE rule shared by
+        submit-time validation and the dispatcher's bucketing (restore
+        inputs arrive at OUTPUT, i.e. 2x, scale)."""
+        return (h, w) if mode == "2x" else ((h + 1) // 2, (w + 1) // 2)
+
+    def _validate(self, img, mode):
+        """Reject malformed requests in the CALLER's thread, before they can
+        reach the queue and poison a coalesced batch (np.stack or bucket_for
+        failing inside the dispatcher fails every co-batched request)."""
+        nc = self.cfg.nc
+        ok = img.ndim == 2 if nc == 1 else (img.ndim == 3
+                                            and img.shape[0] == nc)
+        if not ok:
+            raise ValueError(
+                f"config {self.cfg.variant} expects "
+                f"{'(H, W)' if nc == 1 else f'({nc}, H, W)'} images, "
+                f"got shape {tuple(img.shape)}")
+        h, w = img.shape[-2:]
+        try:
+            self.bucket_for(*self._lr_extent(h, w, mode))
+        except ValueError:
+            # report the size the CLIENT sent (restore halves it internally)
+            raise ValueError(
+                f"image {h}x{w} (LR {'x'.join(map(str, self._lr_extent(h, w, mode)))}) "
+                f"exceeds max bucket {self.buckets[-1]} (raise --max-size)"
+            ) from None
+
     def _fn(self, bh, bw, mode):
         """(bh, bw, mode) -> pipeline(params, state, batch) -> SR batch.
 
@@ -170,13 +199,12 @@ class SRService:
         return self.submit_many([img_hw], mode)[0]
 
     def submit_many(self, imgs, mode="2x"):
-        # validate HERE, in the caller's thread: an oversized image must
-        # raise to its own requester, not poison a coalesced batch (the
-        # dispatcher buckets on the max extent over all batched requests)
-        for im in imgs:
-            h, w = im.shape[-2:]
-            self.bucket_for(*((h, w) if mode == "2x"
-                              else ((h + 1) // 2, (w + 1) // 2)))
+        try:
+            for im in imgs:
+                self._validate(im, mode)
+        except ValueError:
+            self.stats["errors"] += 1    # rejected requests stay visible
+            raise                        # on the /healthz errors counter
         done = threading.Event()
         item = {"imgs": imgs, "mode": mode, "done": done}
         self._q.put(item)
@@ -228,12 +256,8 @@ class SRService:
         flat = [(it, im) for it in items for im in it["imgs"]]
         sizes = [im.shape[-2:] for _, im in flat]
         mh, mw = (max(h for h, _ in sizes), max(w for _, w in sizes))
-        if mode == "2x":            # inputs are LR: bucket them directly
-            bh, bw = self.bucket_for(mh, mw)
-            side_h, side_w = bh, bw
-        else:                       # restore inputs are at OUTPUT (2x) scale
-            bh, bw = self.bucket_for((mh + 1) // 2, (mw + 1) // 2)
-            side_h, side_w = 2 * bh, 2 * bw
+        bh, bw = self.bucket_for(*self._lr_extent(mh, mw, mode))
+        side_h, side_w = (bh, bw) if mode == "2x" else (2 * bh, 2 * bw)
         batch = np.stack([
             np.pad(im, [(0, 0)] * (im.ndim - 2)
                    + [(0, side_h - im.shape[-2]), (0, side_w - im.shape[-1])],

@@ -124,14 +124,18 @@ def batch_upscale(args, cfg, g_params, g_state):
         return float(np.asarray(cal_psnr_batch(a, b)).mean())
 
     scale = 2 if args.true_2x else 1
-    for name, im, (h, w), sr in zip(names, imgs, sizes, sr_all):
+    for name, im, padded, (h, w), sr in zip(names, imgs, batch, sizes, sr_all):
         sr = sr[..., :scale * h, :scale * w]
         dst = os.path.join(args.output, os.path.splitext(name)[0] + "_sr.png")
         save_image(dst, np.clip(np.asarray(sr), 0, 1))
         if args.true_2x:    # input IS the LR — no ground truth to score
             print(f"{name}: {h}x{w} -> {scale * h}x{scale * w}")
         else:
-            bil = np.asarray(resize_bilinear(box_downsample2(im), h, w))
+            # baseline from the PADDED image then crop — box_downsample2
+            # needs even extents (odd-size originals crash it); same
+            # discipline as the single-image path below
+            bil = np.asarray(resize_bilinear(box_downsample2(padded),
+                                             Hp, Wp))[..., :h, :w]
             print(f"{name}: {h}x{w}  PSNR(G)={psnr(im, sr):.3f}  "
                   f"PSNR(bilinear)={psnr(im, bil):.3f}")
     mp = sum(scale * scale * h * w for h, w in sizes) / 1e6
