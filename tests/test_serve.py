@@ -79,6 +79,40 @@ def test_concurrent_requests_coalesce_into_batches(service):
     np.testing.assert_allclose(results[2], solo, atol=1e-6)
 
 
+def test_mixed_size_requests_coalesce_exactly(service):
+    """Different-size images coalescing into ONE dispatch each get their own
+    edge padding to the common bucket and crop-back — each result is exact
+    vs running that image alone through the bucket's pipeline."""
+    rng = np.random.RandomState(40)
+    a = rng.rand(16, 16).astype(np.float32)
+    b = rng.rand(10, 14).astype(np.float32)
+    results = {}
+
+    def post(key, img):
+        results[key] = service.submit(img)
+
+    threads = [threading.Thread(target=post, args=(k, im))
+               for k, im in (("a", a), ("b", b))]
+    n_batches = service.stats["batches"]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results["a"].shape == (32, 32)
+    assert results["b"].shape == (20, 28)
+    assert service.stats["batches"] == n_batches + 1   # ONE dispatch
+    bh, bw = service.bucket_for(16, 16)
+    for img, key in ((a, "a"), (b, "b")):
+        padded = np.pad(img, ((0, bh - img.shape[0]), (0, bw - img.shape[1])),
+                        mode="edge")
+        direct = make_overlap_sr_fn(service.cfg, fine=(2 * bh, 2 * bw),
+                                    lr_input=True, bn_eval=True)(
+            service.g_params, service.g_state, jnp.asarray(padded)[None])
+        oh, ow = results[key].shape
+        np.testing.assert_allclose(
+            results[key], np.asarray(direct["seam"])[0, :oh, :ow], atol=1e-6)
+
+
 def test_mixed_mode_requests_requeue(service):
     """Concurrent 2x and restore requests must not coalesce (different
     programs): the dispatcher requeues the other mode and serves both."""
