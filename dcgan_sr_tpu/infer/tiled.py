@@ -152,6 +152,16 @@ def make_full_sr_fn(cfg, *, compute_dtype=None, mesh=None, bn_eval=False,
     (cfg.data_range: the pm1 variants train on [-1,1], donkey_folder.lua:69)
     — callers own the conversion, exactly like make_overlap_sr_fn.
 
+    BN statistics under train mode (`bn_eval=False`) are PER IMAGE (each
+    image runs as its own batch-of-1, vmapped) — the reference's
+    single-image testSample forward (train-gray.lua:326-380) normalizes
+    with exactly that batch, and it keeps every image's result independent
+    of what it happens to be batched with (serving coalesces arbitrary
+    requests; the directory tool pads for shardability).  The 100-image
+    POOLED-batch protocol the reference's eval loop uses lives in
+    evaluation/harness.py, not here.  `bn_eval=True` (running stats) is
+    batch-independent by construction.
+
     With `mesh`, images shard over the data axis (params/state replicate),
     mirroring make_overlap_sr_fn's serving topology.
     """
@@ -168,7 +178,10 @@ def make_full_sr_fn(cfg, *, compute_dtype=None, mesh=None, bn_eval=False,
 
     def run(params, state, images):
         lr = images if lr_input else box_downsample2(images)
-        return gen(params, state, lr)
+        if bn_eval:
+            return gen(params, state, lr)
+        # train-mode BN: per-image batch-1 statistics (see docstring)
+        return jax.vmap(lambda im: gen(params, state, im[None])[0])(lr)
 
     if mesh is None:
         return jax.jit(run)

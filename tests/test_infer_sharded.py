@@ -105,3 +105,23 @@ def test_sharded_lr_input_matches_single():
                                np.asarray(single["seam"]), atol=1e-5)
     assert sharded["seam"].shape == (8, 64, 64)
     assert len(sharded["seam"].sharding.device_set) == 8
+
+def test_full_sr_train_bn_is_per_image():
+    """make_full_sr_fn under train-mode BN normalizes each image with its OWN
+    batch-1 statistics (the reference's single-image testSample forward,
+    train-gray.lua:326-380): a request's pixels must not depend on what it
+    was co-batched with (serving coalesces arbitrary requests; the directory
+    tool pads batches for shardability)."""
+    from dcgan_sr_tpu.infer.tiled import make_full_sr_fn
+
+    cfg = get_config("gray-3", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.rand(3, 1, 16, 16), jnp.float32)
+
+    fn = make_full_sr_fn(cfg, lr_input=True, bn_eval=False)
+    batched = np.asarray(fn(st.g_params, st.g_state, imgs))
+    assert batched.shape == (3, 1, 32, 32)
+    for i in range(3):
+        alone = np.asarray(fn(st.g_params, st.g_state, imgs[i:i + 1]))[0]
+        np.testing.assert_allclose(batched[i], alone, atol=1e-6)

@@ -7,6 +7,7 @@ all CPU-pinned (conftest) with a tiny random-init G."""
 
 import http.client
 import io
+import json
 import threading
 
 import numpy as np
@@ -335,6 +336,14 @@ def test_http_round_trip(service):
         health = resp.read().decode()
         assert resp.status == 200
         assert '"ready": true' in health
+
+        # undecodable bytes: 400 JSON error AND the errors counter moves
+        errs_before = service.stats["errors"]
+        conn.request("POST", "/upscale", body=b"not a png at all")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "error" in json.loads(resp.read())
+        assert service.stats["errors"] == errs_before + 1
         conn.close()
     finally:
         srv.shutdown()

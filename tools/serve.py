@@ -263,8 +263,10 @@ class SRService:
                    + [(0, side_h - im.shape[-2]), (0, side_w - im.shape[-1])],
                    mode="edge") for _, im in flat])
         n = len(batch)
-        # power-of-two batch bucket bounds the program count; under bn_eval
-        # (running stats) per-image results are independent of batch padding
+        # power-of-two batch bucket bounds the program count; per-image
+        # results are independent of batch padding in BOTH BN modes (bn_eval
+        # uses running stats; parity train-mode BN is per-image — vmapped
+        # tiles for patch configs, batch-1 vmap in make_full_sr_fn)
         n2 = 1 << (n - 1).bit_length()
         if n2 > n:
             batch = np.concatenate([batch, batch[:1].repeat(n2 - n, axis=0)])
@@ -346,6 +348,10 @@ def make_http_server(service, port=8000, host="127.0.0.1"):
                 length = int(self.headers.get("Content-Length", 0))
                 nc = service.cfg.nc
                 img = load_image(io.BytesIO(self.rfile.read(length)), nc=nc)
+            except Exception as e:      # undecodable bytes: count + reject
+                service.stats["errors"] += 1
+                return self._json(400, {"error": str(e)})
+            try:                        # submit counts its own rejections
                 sr = service.submit(img[0] if nc == 1 else img, mode)
             except Exception as e:
                 return self._json(400, {"error": str(e)})
