@@ -348,3 +348,33 @@ def test_http_round_trip(service):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_u8_io_bit_identical_after_quantization():
+    """u8_io moves the byte<->[0,1] boundary (and the pm1 map) inside the
+    device program: for byte-valued inputs (what PNG uploads are), the
+    quantized response must be BIT-IDENTICAL to quantizing the float path's
+    output — only the transfer bytes change. Covers the tiled gray pipeline
+    and the pm1 full-image (rgb-full) pipeline."""
+    for variant, shape in (("gray-patch-batch-overlap", (26, 31)),
+                           ("rgb-full", (3, 26, 31))):
+        cfg = get_config(variant, env_override=False, **TINY)
+        st = init_train_state(cfg, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(11)
+        img = (rng.randint(0, 256, shape) / 255.0).astype(np.float32)
+
+        f32 = SRService(cfg, st.g_params, st.g_state, max_size=32,
+                        max_batch=4, window_ms=5.0)
+        u8 = SRService(cfg, st.g_params, st.g_state, max_size=32,
+                       max_batch=4, window_ms=5.0, u8_io=True)
+        try:
+            for mode in ("2x", "restore"):
+                ref = f32.submit(img, mode)
+                got = u8.submit(img, mode)
+                ref8 = np.clip(np.round(ref * 255.0), 0, 255).astype(np.uint8)
+                got8 = np.clip(np.round(got * 255.0), 0, 255).astype(np.uint8)
+                assert got8.shape == ref8.shape
+                np.testing.assert_array_equal(got8, ref8, err_msg=(variant, mode))
+        finally:
+            f32.close()
+            u8.close()

@@ -66,7 +66,7 @@ class SRService:
 
     def __init__(self, cfg, g_params, g_state, *, max_size=256, max_batch=8,
                  window_ms=5.0, bn_eval=True, self_ensemble=1,
-                 compute_dtype=None):
+                 compute_dtype=None, u8_io=False):
         from dcgan_sr_tpu.infer.tiled import lr_pad_dim
 
         self.cfg = cfg
@@ -76,6 +76,13 @@ class SRService:
         self.bn_eval = bool(bn_eval)
         self.self_ensemble = int(self_ensemble)
         self.compute_dtype = compute_dtype
+        # uint8 device I/O: the [0,1]<->byte conversion (and the pm1 range
+        # map) moves INSIDE the jitted program, so host<->device transfers
+        # carry 1 byte/px instead of 4. Bit-identical for HTTP clients: the
+        # input PNG is bytes already (k/255. == u8/255. on device) and the
+        # response path quantizes with the same clip(round(x*255)) the
+        # handler would apply — the tunnel bytes are the only thing changed.
+        self.u8_io = bool(u8_io)
         # patch variants serve through the overlap-tile pipeline (their G maps
         # 4x4 tiles); full-image variants (rgb-full/gray/gray-2/gray-3) feed
         # the whole image to their fully-convolutional net-2x G
@@ -172,7 +179,26 @@ class SRService:
                     self.cfg, lr_input=lr_input, bn_eval=self.bn_eval,
                     self_ensemble=self.self_ensemble,
                     compute_dtype=self.compute_dtype)
+            if self.u8_io:
+                self._fns[key] = self._u8_wrap(self._fns[key])
         return self._fns[key]
+
+    def _u8_wrap(self, f):
+        """uint8-boundary program: bytes in -> [0,1] (-> pm1) -> pipeline ->
+        clip(round(x*255)) -> bytes out, all inside the jit (see __init__)."""
+        import jax
+        import jax.numpy as jnp
+
+        def g(params, state, x8):
+            x = x8.astype(jnp.float32) / 255.0
+            if self.pm1:
+                x = x * 2.0 - 1.0
+            y = f(params, state, x)
+            if self.pm1:
+                y = (y + 1.0) * 0.5
+            return jnp.clip(jnp.round(y * 255.0), 0, 255).astype(jnp.uint8)
+
+        return jax.jit(g)
 
     def warmup(self, batch_sizes=(1,), rect=False):
         """Precompile the SQUARE (bucket, mode, batch) programs so typical
@@ -272,7 +298,9 @@ class SRService:
             batch = np.concatenate([batch, batch[:1].repeat(n2 - n, axis=0)])
         if not self.tiled and batch.ndim == 3:   # full pipeline wants NCHW
             batch = batch[:, None]
-        if self.pm1:                # HTTP is [0,1]; the G trains on [-1,1]
+        if self.u8_io:              # byte transfers; range maps live on device
+            batch = np.clip(np.round(batch * 255.0), 0, 255).astype(np.uint8)
+        elif self.pm1:              # HTTP is [0,1]; the G trains on [-1,1]
             batch = batch * 2.0 - 1.0
         t0 = time.monotonic()
         out = self._fn(bh, bw, mode)(self.g_params, self.g_state,
@@ -280,7 +308,9 @@ class SRService:
         sr = np.asarray(out)[:n]          # host fetch closes the dispatch
         self._lat_ms.append((time.monotonic() - t0) * 1e3)
         del self._lat_ms[:-256]           # ring of recent batch latencies
-        if self.pm1:
+        if self.u8_io:
+            sr = sr.astype(np.float32) / 255.0
+        elif self.pm1:
             sr = (sr + 1.0) * 0.5
         if not self.tiled and self.cfg.nc == 1:
             sr = sr[:, 0]
@@ -402,6 +432,17 @@ def main(argv=None):
                     help="bf16 compute (the benched training/inference "
                          "precision; quality delta validated at 0.37 dB "
                          "over 100 training steps — README)")
+    ap.add_argument("--u8-io", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="uint8 device I/O (default ON): byte<->[0,1] (and "
+                         "pm1) range maps run inside the jitted program so "
+                         "host<->device transfers carry 1 byte/px instead "
+                         "of 4 — bit-identical PNG responses (the "
+                         "quantization moves from the HTTP handler onto the "
+                         "device; measured -7%% warm latency, +25%% 8-way "
+                         "throughput on hardware, docs/serving.md). "
+                         "--no-u8-io keeps float32 transfers (unquantized "
+                         "submit() results for in-process callers)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -442,7 +483,8 @@ def main(argv=None):
                         max_batch=args.max_batch, window_ms=args.window_ms,
                         bn_eval=not args.parity_bn,
                         self_ensemble=args.self_ensemble,
-                        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+                        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                        u8_io=args.u8_io)
     if args.warmup or args.warmup_rect:
         t0 = time.perf_counter()
         service.warmup(rect=args.warmup_rect)
