@@ -124,6 +124,15 @@ def build_train_step(cfg, *, axis_name=None):
     fine_size = cfg.fineSize
 
     def step(state: TrainState, hr):
+        # bf16 FEED support (--feed-bf16): the host can ship image leaves as
+        # bfloat16 to halve the host->device transfer (the axon tunnel moves
+        # ~38 MB/s, so a scanned super-batch costs ~1 s/epoch in f32 —
+        # measured round 4). Upcast at entry: every op below sees float32
+        # exactly as with an f32 feed; only the input pixels carry bf16
+        # rounding (the compute path's own precision is unchanged).
+        hr = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16 else x, hr)
         if device_augment:
             # donkey trainHook's crop + hflip pixel work on device
             # (donkey_folder.lua:52-70 -> image/ops.py crop_hflip_at). The

@@ -142,3 +142,17 @@ def test_cli_device_augment_folder(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Epoch: [1][" in out.stdout
     assert "disabled for this run" not in out.stdout
+
+
+def test_cli_feed_bf16_scan(tmp_path):
+    """--feed-bf16 ships the batches as bfloat16 through the scan runner;
+    training must complete with finite metrics (math is pinned exactly by
+    test_train_step.test_feed_bf16_equals_prequantized_f32)."""
+    out = _run(["--config", "gray-3", "--steps", "4", "--epochs", "1",
+                "--scan", "2", "--feed-bf16",
+                "--metrics-jsonl", str(tmp_path / "m.jsonl")])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "End of epoch 1 / 1" in out.stdout
+    recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    import numpy as np
+    assert recs and all(np.isfinite(r["errG"]) for r in recs)

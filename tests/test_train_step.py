@@ -87,3 +87,41 @@ def test_dp_matches_single_device():
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), s1.g_params, s2.g_params)
     assert max(jax.tree_util.tree_leaves(diffs)) <= 2.1 * cfg.lr
+
+
+def test_feed_bf16_equals_prequantized_f32():
+    """A bf16-fed step must equal the f32 step on pre-quantized pixels
+    EXACTLY: the step upcasts bf16 leaves to f32 at entry (train/step.py),
+    so --feed-bf16 changes transfer bytes, never training math. Covers the
+    plain batch and the device_augment pytree (canvas bf16, offsets int)."""
+    cfg = get_config("gray-3", env_override=False, **TINY)
+    state = init_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(build_train_step(cfg))
+    hr = np.random.RandomState(7).rand(8, 1, 64, 64).astype(np.float32)
+    hr16 = hr.astype(jnp.bfloat16)
+
+    s16, m16 = step(state, jnp.asarray(hr16))
+    sf, mf = step(state, jnp.asarray(hr16).astype(jnp.float32))
+    for k in mf:
+        assert float(m16[k]) == float(mf[k]), k
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s16.g_params, sf.g_params)
+
+    # device_augment pytree: only the canvas leaf is bf16
+    cfga = get_config("gray-3", env_override=False, device_augment=True,
+                      device_preprocess=True, **TINY)
+    statea = init_train_state(cfga, jax.random.PRNGKey(0))
+    stepa = jax.jit(build_train_step(cfga))
+    rng = np.random.RandomState(8)
+    canvas = rng.rand(8, 3, 78, 64).astype(np.float32)
+    tops = rng.randint(0, 14, 8).astype(np.int32)
+    lefts = np.zeros(8, np.int32)
+    flips = rng.randint(0, 2, 8).astype(bool)
+    b16 = (jnp.asarray(canvas.astype(jnp.bfloat16)), tops, lefts, flips)
+    bf = (jnp.asarray(b16[0]).astype(jnp.float32), tops, lefts, flips)
+    _, ma16 = stepa(statea, b16)
+    _, maf = stepa(statea, bf)
+    for k in maf:
+        assert float(ma16[k]) == float(maf[k]), k
