@@ -258,6 +258,12 @@ def main(argv=None):
                          "upcasts to f32 at entry, so all training math is "
                          "unchanged except bf16 rounding of input pixels; "
                          "compute precision is governed by --bf16 as before")
+    ap.add_argument("--stage-ahead", action="store_true",
+                    help="double-buffer the feed: build + device_put chunk "
+                         "c+1 while the device computes chunk c (dispatch "
+                         "is async). Hides host batch work and the tunnel "
+                         "transfer behind compute; same batches in the "
+                         "same order, so training math is unchanged")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (fp32 params)")
     ap.add_argument("--use-pallas", action="store_true",
@@ -417,7 +423,8 @@ def main(argv=None):
                                 log_every=args.log_every,
                                 scan_steps=args.scan,
                                 multi_step_fn=multi_step_fn,
-                                start_epoch=start_epoch)
+                                start_epoch=start_epoch,
+                                stage_ahead=args.stage_ahead)
     if logger is not None:
         logger.close()
 

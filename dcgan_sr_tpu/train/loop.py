@@ -20,7 +20,8 @@ from .step import TrainState, build_train_step
 def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
                  steps_per_epoch=None, log_fn=None, checkpoint_dir=None,
                  prepare_batch=None, logger: MetricsLogger = None, log_every=1,
-                 scan_steps=1, multi_step_fn=None, start_epoch=0):
+                 scan_steps=1, multi_step_fn=None, start_epoch=0,
+                 stage_ahead=False):
     """Run the training loop.
 
     batch_fn(epoch, step_index) -> (B, C, H, W) HR batch (numpy or jax array)
@@ -40,6 +41,14 @@ def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
     start_epoch: resume offset — epochs run start_epoch+1 .. niter and
     checkpoints keep their continued numbering instead of restarting at 1
     (the reference has no resume; this is the rebuild's resume contract).
+    stage_ahead: double-buffer the feed — build and `jax.device_put` chunk
+    c+1 WHILE the device computes chunk c (JAX dispatch is async; the
+    per-chunk metrics fetch is what synchronizes). Hides host batch work
+    and the host->device transfer behind compute; epoch math is unchanged
+    (same batches in the same order; tested identical). Log semantics
+    shift slightly: DataTime is the overlapped build+put cost of the
+    chunk (measured when it actually ran), Time is the chunk's wall
+    (dispatch -> staging -> fetch).
     """
     if step_fn is None:
         step_fn = jax.jit(build_train_step(cfg), donate_argnums=(0,))
@@ -56,27 +65,44 @@ def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
 
     tm, data_tm, epoch_tm = Timer(), Timer(), Timer()
     metrics_last = None
+
+    def chunk_size(i):
+        return scan_steps if (scan_steps > 1
+                              and steps_per_epoch - i >= scan_steps) else 1
+
+    def build_chunk(epoch, i, k):
+        """Host batch build + device placement; returns (batch, seconds)."""
+        data_tm.reset()
+        if k > 1:
+            # pytree-aware stack: device_augment batches are
+            # (canvas, tops, lefts, flips) tuples
+            chunk = [batch_fn(epoch, i + j) for j in range(k)]
+            hr = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *chunk)
+        else:
+            hr = batch_fn(epoch, i)
+        if prepare_batch is not None:
+            hr = prepare_batch(hr)
+        elif stage_ahead:
+            # async: returns immediately with the transfer in flight, so
+            # it rides under the PREVIOUS chunk's device compute
+            hr = jax.device_put(hr)
+        data_tm.stop()
+        return hr, data_tm.time()["real"]
+
     try:
         for epoch in range(start_epoch + 1, niter + 1):
             epoch_tm.reset()
             i = 0
+            staged = None
             while i < steps_per_epoch:
-                k = scan_steps if (scan_steps > 1
-                                   and steps_per_epoch - i >= scan_steps) else 1
+                k = chunk_size(i)
                 tm.reset()
-                data_tm.reset()
-                if k > 1:
-                    # pytree-aware stack: device_augment batches are
-                    # (canvas, tops, lefts, flips) tuples
-                    chunk = [batch_fn(epoch, i + j) for j in range(k)]
-                    hr = jax.tree_util.tree_map(
-                        lambda *xs: np.stack([np.asarray(x) for x in xs]),
-                        *chunk)
+                if staged is None:
+                    hr, data_s = build_chunk(epoch, i, k)
                 else:
-                    hr = batch_fn(epoch, i)
-                if prepare_batch is not None:
-                    hr = prepare_batch(hr)
-                data_tm.stop()
+                    hr, data_s = staged
 
                 if k > 1:
                     state, stacked = multi_step_fn(state, hr)
@@ -85,10 +111,17 @@ def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
                     state, metrics = step_fn(state, hr)
                 metrics_last = metrics
                 done = i + k
+                if stage_ahead and done < steps_per_epoch:
+                    # device is computing this chunk right now (dispatch is
+                    # async; nothing has synchronized yet): overlap the next
+                    # chunk's host build + transfer with it
+                    staged = build_chunk(epoch, done, chunk_size(done))
+                else:
+                    staged = None
                 if (done % log_every < k) or done == steps_per_epoch:
                     metrics_host = {key: float(v) for key, v in metrics.items()}
                     logger.log_step(epoch, done - 1, steps_per_epoch,
-                                    tm.time()["real"], data_tm.time()["real"],
+                                    tm.time()["real"], data_s,
                                     metrics_host)
                 i = done
             logger.log_epoch(epoch, niter, epoch_tm.time()["real"])

@@ -156,3 +156,16 @@ def test_cli_feed_bf16_scan(tmp_path):
     recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
     import numpy as np
     assert recs and all(np.isfinite(r["errG"]) for r in recs)
+
+
+def test_cli_stage_ahead_scan(tmp_path):
+    """--stage-ahead (feed double-buffering) through the scan runner; math
+    is pinned by test_multi_step.test_train_epochs_stage_ahead_equals_plain."""
+    out = _run(["--config", "gray-3", "--steps", "5", "--epochs", "1",
+                "--scan", "2", "--stage-ahead", "--feed-bf16",
+                "--metrics-jsonl", str(tmp_path / "m.jsonl")])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "End of epoch 1 / 1" in out.stdout
+    recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    import numpy as np
+    assert recs and all(np.isfinite(r["errG"]) for r in recs)

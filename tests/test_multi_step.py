@@ -140,3 +140,41 @@ def test_train_epochs_start_epoch_resume(tmp_path):
     assert any("_3_net_G" in n for n in names)
     assert not any("_1_net_G" in n for n in names)
     assert latest_epoch(str(tmp_path), cfg.name) == 3
+
+def test_train_epochs_stage_ahead_equals_plain():
+    """--stage-ahead double-buffers the feed (build + device_put of chunk
+    c+1 under chunk c's compute) but consumes the SAME batches in the SAME
+    order — final params must match the plain loop bit-for-bit. Covers full
+    chunks + the k=1 remainder tail and a batch_fn whose output depends on
+    call order (an exhausting iterator would misbehave if staging skipped
+    or reordered builds)."""
+    from dcgan_sr_tpu.train import train_epochs
+
+    cfg = get_config("gray-patch-batch", env_override=False, **TINY)
+    rng = np.random.RandomState(13)
+    batches = rng.rand(5, 16, 1, 8, 8).astype(np.float32)
+    calls = []
+
+    def batch_fn(e, i):
+        calls.append((e, i))
+        return batches[i]
+
+    def quiet(*a, **k):
+        pass
+
+    s_plain = init_train_state(cfg, jax.random.PRNGKey(21))
+    s_plain, m_plain = train_epochs(cfg, s_plain, batch_fn, niter=2,
+                                    steps_per_epoch=5, log_fn=quiet,
+                                    scan_steps=2)
+    plain_calls, calls[:] = list(calls), []
+
+    s_sa = init_train_state(cfg, jax.random.PRNGKey(21))
+    s_sa, m_sa = train_epochs(cfg, s_sa, batch_fn, niter=2,
+                              steps_per_epoch=5, log_fn=quiet,
+                              scan_steps=2, stage_ahead=True)
+    assert calls == plain_calls  # same builds, same order
+    assert float(m_sa["errG"]) == float(m_plain["errG"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s_plain.g_params, s_sa.g_params)
