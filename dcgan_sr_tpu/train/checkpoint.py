@@ -55,15 +55,23 @@ def load_branch(data, key, template):
 
 
 def save_checkpoint(directory, name, epoch, state: TrainState):
+    """Atomic per-net npz saves: each file is written to a same-directory
+    `.tmp` and `os.replace`d into place, so a process killed mid-save can
+    never leave a truncated `.npz` (a torn save used to crash any later
+    `np.load` — e.g. checkpoint ranking); at worst a stray `.tmp` remains,
+    which `latest_epoch` (anchored on `.npz$`) and every loader ignore."""
     os.makedirs(directory, exist_ok=True)
     g = {"params": state.g_params, "state": state.g_state, "opt": state.g_opt}
     if state.g_ema_params is not None:
         g["ema"] = state.g_ema_params
     d = {"params": state.d_params, "state": state.d_state, "opt": state.d_opt}
     for net, tree in (("G", g), ("D", d)):
-        np.savez(checkpoint_path(directory, name, epoch, net),
-                 __branches__=np.array(sorted(tree)),
-                 **_flatten_with_paths(tree))
+        path = checkpoint_path(directory, name, epoch, net)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, __branches__=np.array(sorted(tree)),
+                     **_flatten_with_paths(tree))
+        os.replace(tmp, path)
     return epoch
 
 

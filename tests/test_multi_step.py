@@ -178,3 +178,32 @@ def test_train_epochs_stage_ahead_equals_plain():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         s_plain.g_params, s_sa.g_params)
+
+def test_save_checkpoint_atomic(tmp_path):
+    """save_checkpoint writes via same-dir .tmp + os.replace: no .tmp
+    leftovers on success, both npz files load intact, and a stray .tmp
+    (what a mid-save kill leaves behind) is invisible to latest_epoch
+    and resume — the round-3 torn-npz failure mode can't recur."""
+    from dcgan_sr_tpu.train import init_train_state
+    from dcgan_sr_tpu.train.checkpoint import (checkpoint_path,
+                                               latest_epoch,
+                                               load_checkpoint,
+                                               save_checkpoint)
+
+    cfg = get_config("gray-3", env_override=False, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(3))
+    save_checkpoint(str(tmp_path), cfg.name, 1, st)
+
+    names = sorted(f.name for f in tmp_path.iterdir())
+    assert not any(n.endswith(".tmp") for n in names)
+    for net in ("G", "D"):
+        with np.load(checkpoint_path(str(tmp_path), cfg.name, 1, net)) as d:
+            assert "__branches__" in d.files  # fully written, not torn
+
+    # a killed-mid-save epoch-2 leaves only a partial .tmp: resume must
+    # still pick epoch 1 and load cleanly
+    torn = checkpoint_path(str(tmp_path), cfg.name, 2, "G") + ".tmp"
+    with open(torn, "wb") as f:
+        f.write(b"PK\x03\x04 truncated")
+    assert latest_epoch(str(tmp_path), cfg.name) == 1
+    load_checkpoint(str(tmp_path), cfg.name, 1, st)
