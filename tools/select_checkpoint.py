@@ -21,6 +21,7 @@ train and test slices in the reference's print format.
 import argparse
 import os
 import sys
+import zipfile
 
 # XLA's C++ logger latches TF_CPP_MIN_LOG_LEVEL when the backend .so loads
 # (at `import jax`), so pin_cpu() setting it in-process is too late to mute
@@ -78,6 +79,12 @@ def main():
         try:
             st = load_checkpoint(args.dir, cfg.name, ep, template)
         except FileNotFoundError:
+            continue
+        except (zipfile.BadZipFile, ValueError, KeyError, OSError) as e:
+            # a torn npz (pre-atomic-save kill mid-write) must not abort
+            # the whole ranking — skip it loudly and keep scoring
+            print(f"epoch {ep}: SKIPPED unreadable checkpoint ({e!r})",
+                  flush=True)
             continue
         params = st.g_ema_params if args.ema else st.g_params
         r = evaluate_slice(cfg, None, params, st.g_state, src,
