@@ -121,6 +121,8 @@ run_train() {
 # check_last_epoch <ckpt_dir> — a kill mid-epoch truncates the in-flight
 # np.savez (round 3: ep245 net_D was a BadZipFile and crashed the ranker).
 # Validate the newest epoch's G/D pair; delete the pair if either is torn.
+# LEGACY-ONLY since save_checkpoint went atomic (tmp + os.replace): new
+# saves can't tear; kept for stray .tmp cleanup and pre-atomic dirs.
 check_last_epoch() {
     python - "$1" <<'EOF'
 import os, sys, re
@@ -132,6 +134,10 @@ d = sys.argv[1]
 # pair would be reported but not deleted.
 found = {}
 for f in os.listdir(d):
+    if f.endswith(".npz.tmp"):   # atomic-save residue from a killed save
+        os.remove(os.path.join(d, f))
+        print(f"[tpu_block] removed stray {f}")
+        continue
     m = re.match(r"(.+)_(\d+)_net_[GD]\.npz$", f)
     if m:
         found[int(m.group(2))] = m.group(1)
