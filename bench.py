@@ -129,22 +129,41 @@ def get_baselines():
             "(fDx+fGx+2 Adam) per variant, images/sec"))
         data.setdefault("regenerated", []).append(
             {"variants": regen, "host": _host_desc()})
+        data["host"] = _host_desc()  # the host the CURRENT numbers came from
         with open(BASELINE_FILE, "w") as f:
             json.dump(data, f, indent=1)
     return data
 
 
 def _host_desc():
-    try:
-        with open("/proc/cpuinfo") as f:
-            text = f.read()
-        model = next(line.split(":", 1)[1].strip() for line in text.split("\n")
-                     if line.startswith("model name"))
-        cores = text.count("model name")
-        return f"{cores} cores, {model}"
-    except (OSError, StopIteration):
-        import platform
-        return platform.processor() or "unknown"
+    from dcgan_sr_tpu.utils.cache import machine_fingerprint
+    return machine_fingerprint()[1]
+
+
+def cpu_anchor(reps=5):
+    """Fixed CPU-only workload timed in seconds per rep — a host-speed anchor
+    stamped on every bench line.  Cross-round readers compare anchors: equal
+    anchor + moved TPU numbers => tunnel drift or a real program regression;
+    moved anchor => the round landed on a different/changed host (round-4
+    VERDICT: the r04 ~5% dip was undecidable from the artifact alone)."""
+    import numpy as np
+    rng = np.random.RandomState(0)
+    a = rng.rand(768, 768).astype(np.float64)
+    b = a @ a  # warmup (BLAS thread pool spin-up)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        b = a @ (b / np.linalg.norm(b))  # renormalize: bounded, defeats DCE
+    return (time.perf_counter() - t0) / reps
+
+
+def tunnel_probe():
+    """Time of the first tiny TPU round trip (backend init + one dispatch).
+    A healthy tunnel probes in ~3-90 s depending on cache state; a wedged one
+    hangs (CLAUDE.md).  Stamped on bench lines as tunnel-health provenance."""
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    float(jnp.ones((8, 128)).sum())
+    return time.perf_counter() - t0
 
 
 def measure_tpu(variant, k=STEPS, reps=3):
@@ -198,7 +217,24 @@ def measure_overlap_inference():
 
 
 def main():
+    from dcgan_sr_tpu.utils.cache import enable_tpu_cache, machine_fingerprint
+    import jax
+    enable_tpu_cache(jax)
+    host_tag, host_desc = machine_fingerprint()
+    anchor = round(cpu_anchor(), 4)
+    probe = round(tunnel_probe(), 1)  # first TPU touch of this client
     baselines = get_baselines()
+    baseline_host = baselines.get("host", "unknown (see BASELINE_MEASURED)")
+    # header record: full provenance in one place (per-line stamps repeat the
+    # compact fields in case the driver trims the tail to the last few lines)
+    print(json.dumps({
+        "metric": "bench_selfcert", "value": probe, "unit": "s (tunnel probe)",
+        "host": host_tag, "host_desc": host_desc, "cpu_anchor_s": anchor,
+        "baseline_host": baseline_host,
+        "baseline_note": "vs_baseline comparable only within one baseline "
+                         "regeneration (BASELINE_MEASURED.json 'note'); "
+                         "'value' fields are comparable across rounds",
+    }), flush=True)
     lines = measure_overlap_inference()
     from dcgan_sr_tpu.utils.measure import median_spread
     for variant in ("rgb-full", "gray-patch-batch", "gray-3"):  # flagship last
@@ -214,7 +250,9 @@ def main():
             "rep_spread": spread,
         })
     for rec in lines:
-        print(json.dumps(rec))
+        rec.update(host=host_tag, cpu_anchor_s=anchor, tunnel_probe_s=probe,
+                   baseline_host=baseline_host)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -21,8 +21,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def machine_cpu_cache_dir(root=_REPO):
-    """Compile-cache dir keyed by this host's CPU identity.
+def machine_fingerprint():
+    """(short-hash, human description) of this host's stable CPU identity.
 
     Hashing only the cpuinfo `flags` line is not discriminating enough:
     XLA:CPU also embeds pseudo-features (+prefer-no-scatter/-gather) chosen
@@ -32,18 +32,32 @@ def machine_cpu_cache_dir(root=_REPO):
     lines of the first processor block — model name, vendor, family, model,
     stepping AND flags — but not the volatile ones (`cpu MHz` changes with
     frequency scaling, which would mint a fresh empty cache dir per run).
+
+    The same tag stamps bench JSON lines so cross-round readers can tell
+    host changes from tunnel drift (BENCH artifacts, round-4 VERDICT item).
     """
     stable = ("vendor_id", "cpu family", "model", "model name", "stepping",
               "flags")
     try:
         with open("/proc/cpuinfo") as f:
-            lines = f.read().split("\n\n", 1)[0].splitlines()
+            text = f.read()
+        lines = text.split("\n\n", 1)[0].splitlines()
         block = "\n".join(l for l in lines
                           if l.split(":", 1)[0].strip() in stable)
+        model = next((l.split(":", 1)[1].strip() for l in lines
+                      if l.startswith("model name")), "unknown")
+        desc = f"{text.count('model name')} cores, {model}"
     except OSError:
         block = platform.processor()
+        desc = block or "unknown"
     tag = hashlib.sha1((platform.machine() + block).encode()).hexdigest()[:10]
-    return os.path.join(root, ".jax_cache_cpu_" + tag)
+    return tag, desc
+
+
+def machine_cpu_cache_dir(root=_REPO):
+    """Compile-cache dir keyed by this host's CPU identity (see
+    machine_fingerprint for why the key uses only stable cpuinfo lines)."""
+    return os.path.join(root, ".jax_cache_cpu_" + machine_fingerprint()[0])
 
 
 def enable_tpu_cache(jax, min_compile_secs=0.5):

@@ -41,8 +41,12 @@ def main(argv=None):
                     help="pin jax to CPU (smoke-testing the harness)")
     args = ap.parse_args(argv)
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.getcwd(), ".jax_cache"))
+    if not args.cpu:
+        # TPU-only shared cache; under --cpu leave the env var unset so
+        # pin_cpu routes to its host-fingerprinted XLA:CPU dir instead of
+        # polluting .jax_cache with host-specific AOT entries
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                              os.path.join(os.getcwd(), ".jax_cache"))
     import numpy as np
     import jax
     if args.cpu:
@@ -90,7 +94,10 @@ def main(argv=None):
     times = {False: [], True: []}
     wins = 0
     for r in range(args.rounds):
-        for flag_value in (False, True):
+        # ABBA: alternate within-round order so monotonic tunnel-bandwidth
+        # drift inside the run biases neither arm systematically
+        order = (False, True) if r % 2 == 0 else (True, False)
+        for flag_value in order:
             state, dt = run_epoch(state, flag_value)
             times[flag_value].append(dt)
             print(f"round {r} {args.flag}={flag_value}: {dt:.3f}s",
