@@ -378,3 +378,32 @@ def test_u8_io_bit_identical_after_quantization():
         finally:
             f32.close()
             u8.close()
+
+
+def test_serve_load_driver(service):
+    """tools/serve_load.py (the measurement load driver) end to end against
+    a live HTTP server: every phase line is valid JSON in order, the warm
+    medians are positive, and the /healthz percentiles flow through."""
+    import contextlib
+    from io import StringIO
+
+    from tools import serve_load
+
+    srv = make_http_server(service, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        buf = StringIO()
+        with contextlib.redirect_stdout(buf):
+            serve_load.main(["--port", str(port), "--size", "20x24",
+                             "--warm", "3", "--concurrency", "2",
+                             "--rounds", "1"])
+        lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+        assert [l["phase"] for l in lines] == [
+            "cold_first", "warm_single", "concurrent", "healthz"]
+        assert lines[1]["n"] == 3 and lines[1]["median_ms"] > 0
+        assert lines[2]["c"] == 2 and len(lines[2]["req_ms"]) == 2
+        assert isinstance(lines[3]["requests"], int)  # counters flowed through
+    finally:
+        srv.shutdown()
+        srv.server_close()
