@@ -400,10 +400,13 @@ def test_serve_load_driver(service):
                              "--rounds", "1"])
         lines = [json.loads(l) for l in buf.getvalue().splitlines()]
         assert [l["phase"] for l in lines] == [
-            "cold_first", "warm_single", "concurrent", "healthz"]
+            "cold_first", "warm_single", "concurrent", "concurrent_summary",
+            "healthz"]
         assert lines[1]["n"] == 3 and lines[1]["median_ms"] > 0
         assert lines[2]["c"] == 2 and len(lines[2]["req_ms"]) == 2
-        assert isinstance(lines[3]["requests"], int)  # counters flowed through
+        assert lines[3]["median_req_per_s"] > 0
+        assert lines[3]["warm_median_req_per_s"] > 0
+        assert isinstance(lines[4]["requests"], int)  # counters flowed through
     finally:
         srv.shutdown()
         srv.server_close()

@@ -77,6 +77,7 @@ def main(argv=None):
         "min_ms": round(min(seq) * 1e3, 1),
         "max_ms": round(max(seq) * 1e3, 1)}), flush=True)
 
+    walls = []
     for r in range(args.rounds):
         times = [None] * args.concurrency
 
@@ -91,11 +92,23 @@ def main(argv=None):
         for t in threads:
             t.join()
         wall = time.perf_counter() - t0
+        walls.append(wall)
         print(json.dumps({
             "phase": "concurrent", "round": r, "c": args.concurrency,
             "wall_ms": round(wall * 1e3, 1),
             "req_per_s": round(args.concurrency / wall, 1),
             "req_ms": [round(t * 1e3, 1) for t in times]}), flush=True)
+
+    # Steady state: round 0 can absorb lazy batch-program compiles, so the
+    # summary reports medians both with and without it.
+    warm = walls[1:] or walls
+    print(json.dumps({
+        "phase": "concurrent_summary", "rounds": args.rounds,
+        "c": args.concurrency,
+        "median_req_per_s": round(
+            args.concurrency / statistics.median(walls), 1),
+        "warm_median_req_per_s": round(
+            args.concurrency / statistics.median(warm), 1)}), flush=True)
 
     hz = healthz(base)
     print(json.dumps({"phase": "healthz",
