@@ -127,9 +127,8 @@ def get_baselines():
         data.setdefault("note", (
             "torch-CPU re-enactment of the reference per-step work "
             "(fDx+fGx+2 Adam) per variant, images/sec"))
-        data.setdefault("regenerated", []).append(
-            {"variants": regen, "host": _host_desc()})
-        data["host"] = _host_desc()  # the host the CURRENT numbers came from
+        import bench_infer
+        bench_infer.record_regen(data, regen)
         with open(BASELINE_FILE, "w") as f:
             json.dump(data, f, indent=1)
     return data

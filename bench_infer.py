@@ -19,6 +19,25 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
 N_IMAGES = 64
 
+_META_KEYS = {"note", "regenerated", "host"}
+
+
+def record_regen(data, regen_keys):
+    """Stamp provenance for a (possibly partial) baseline regeneration:
+    append which keys were re-measured on which host, and set 'host' to the
+    current host ONLY when no previously-measured value is retained —
+    otherwise mark it mixed, so bench lines never attribute a retained
+    number to the new host (shared by bench.py's get_baselines)."""
+    from dcgan_sr_tpu.utils.cache import machine_fingerprint
+    host = machine_fingerprint()[1]
+    data.setdefault("regenerated", []).append(
+        {"variants": sorted(regen_keys), "host": host})
+    retained = [k for k in data
+                if k not in _META_KEYS and k not in regen_keys]
+    data["host"] = host if not retained else (
+        "mixed — per-key provenance in 'regenerated'")
+    return data
+
 
 def measure_torch_cpu(n_images=4):
     import numpy as np
@@ -143,6 +162,7 @@ def overlap_record(bn_eval=False):
             data = json.load(f)
     if "torch_cpu_overlap_mp_per_sec" not in data:
         data["torch_cpu_overlap_mp_per_sec"] = measure_torch_cpu()
+        record_regen(data, ["torch_cpu_overlap_mp_per_sec"])
         with open(BASELINE_FILE, "w") as f:
             json.dump(data, f, indent=1)
     from dcgan_sr_tpu.utils.measure import median_spread

@@ -404,6 +404,7 @@ def test_serve_load_driver(service):
             "healthz"]
         assert lines[1]["n"] == 3 and lines[1]["median_ms"] > 0
         assert lines[2]["c"] == 2 and len(lines[2]["req_ms"]) == 2
+        assert lines[2]["errors"] == []
         assert lines[3]["median_req_per_s"] > 0
         assert lines[3]["warm_median_req_per_s"] > 0
         assert isinstance(lines[4]["requests"], int)  # counters flowed through

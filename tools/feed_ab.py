@@ -95,7 +95,10 @@ def main(argv=None):
     wins = 0
     for r in range(args.rounds):
         # ABBA: alternate within-round order so monotonic tunnel-bandwidth
-        # drift inside the run biases neither arm systematically
+        # drift inside the run cancels across round PAIRS. With an odd
+        # --rounds the last round has no partner, leaving a one-round
+        # residual bias toward whichever arm it runs first — use an even
+        # --rounds when the margin is marginal.
         order = (False, True) if r % 2 == 0 else (True, False)
         for flag_value in order:
             state, dt = run_epoch(state, flag_value)

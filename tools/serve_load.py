@@ -70,19 +70,23 @@ def main(argv=None):
     print(json.dumps({"phase": "cold_first", "s": round(cold, 3),
                       "resp_bytes": nbytes}), flush=True)
 
-    seq = [post(url, body)[0] for _ in range(args.warm)]
-    print(json.dumps({
-        "phase": "warm_single", "n": args.warm,
-        "median_ms": round(statistics.median(seq) * 1e3, 1),
-        "min_ms": round(min(seq) * 1e3, 1),
-        "max_ms": round(max(seq) * 1e3, 1)}), flush=True)
+    if args.warm > 0:
+        seq = [post(url, body)[0] for _ in range(args.warm)]
+        print(json.dumps({
+            "phase": "warm_single", "n": args.warm,
+            "median_ms": round(statistics.median(seq) * 1e3, 1),
+            "min_ms": round(min(seq) * 1e3, 1),
+            "max_ms": round(max(seq) * 1e3, 1)}), flush=True)
 
-    walls = []
+    rates = []  # per-round completed-requests/s (failed requests excluded)
     for r in range(args.rounds):
-        times = [None] * args.concurrency
+        results = [None] * args.concurrency
 
         def worker(i):
-            times[i] = post(url, body)[0]
+            try:
+                results[i] = post(url, body)[0]
+            except Exception as e:  # keep the burst alive; reported below
+                results[i] = repr(e)
 
         threads = [threading.Thread(target=worker, args=(i,))
                    for i in range(args.concurrency)]
@@ -92,23 +96,26 @@ def main(argv=None):
         for t in threads:
             t.join()
         wall = time.perf_counter() - t0
-        walls.append(wall)
+        ok = [t for t in results if isinstance(t, float)]
+        rates.append(len(ok) / wall)
         print(json.dumps({
             "phase": "concurrent", "round": r, "c": args.concurrency,
             "wall_ms": round(wall * 1e3, 1),
-            "req_per_s": round(args.concurrency / wall, 1),
-            "req_ms": [round(t * 1e3, 1) for t in times]}), flush=True)
+            "req_per_s": round(len(ok) / wall, 1),
+            "req_ms": [round(t * 1e3, 1) for t in ok],
+            "errors": [t for t in results if not isinstance(t, float)],
+        }), flush=True)
 
-    # Steady state: round 0 can absorb lazy batch-program compiles, so the
-    # summary reports medians both with and without it.
-    warm = walls[1:] or walls
-    print(json.dumps({
-        "phase": "concurrent_summary", "rounds": args.rounds,
-        "c": args.concurrency,
-        "median_req_per_s": round(
-            args.concurrency / statistics.median(walls), 1),
-        "warm_median_req_per_s": round(
-            args.concurrency / statistics.median(warm), 1)}), flush=True)
+    if rates:
+        # Steady state: round 0 can absorb lazy batch-program compiles, so
+        # the summary reports medians both with and without it.
+        warm_rates = rates[1:] or rates
+        print(json.dumps({
+            "phase": "concurrent_summary", "rounds": args.rounds,
+            "c": args.concurrency,
+            "median_req_per_s": round(statistics.median(rates), 1),
+            "warm_median_req_per_s": round(
+                statistics.median(warm_rates), 1)}), flush=True)
 
     hz = healthz(base)
     print(json.dumps({"phase": "healthz",
