@@ -408,6 +408,16 @@ def test_serve_load_driver(service):
         assert lines[3]["median_req_per_s"] > 0
         assert lines[3]["warm_median_req_per_s"] > 0
         assert isinstance(lines[4]["requests"], int)  # counters flowed through
+
+        # --warm 0 / --rounds 0 skip their phases instead of crashing on
+        # empty sequences (cold_first + healthz only)
+        buf = StringIO()
+        with contextlib.redirect_stdout(buf):
+            serve_load.main(["--port", str(port), "--size", "20x24",
+                             "--warm", "0", "--concurrency", "2",
+                             "--rounds", "0"])
+        lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+        assert [l["phase"] for l in lines] == ["cold_first", "healthz"]
     finally:
         srv.shutdown()
         srv.server_close()
