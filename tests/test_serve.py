@@ -350,6 +350,18 @@ def test_http_round_trip(service):
         srv.server_close()
 
 
+def test_http_server_listen_backlog(service):
+    # socketserver's default request_queue_size=5 drops SYNs under a
+    # concurrent connect burst (each dropped client stalls a full 1 s TCP
+    # retransmission timeout — measured, docs/serving.md). Pin the raised
+    # backlog so a refactor can't quietly reintroduce the stall.
+    srv = make_http_server(service, port=0)
+    try:
+        assert srv.request_queue_size >= 64
+    finally:
+        srv.server_close()
+
+
 def test_u8_io_bit_identical_after_quantization():
     """u8_io moves the byte<->[0,1] boundary (and the pm1 map) inside the
     device program: for byte-valued inputs (what PNG uploads are), the

@@ -399,7 +399,15 @@ def make_http_server(service, port=8000, host="127.0.0.1"):
             self.end_headers()
             self.wfile.write(body)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: a C-way simultaneous
+        # connect burst (C > 5) overflows the accept queue, the kernel drops
+        # the SYN, and that client stalls a full 1 s TCP retransmission
+        # timeout — measured as lone ~1.08 s stragglers in otherwise ~100 ms
+        # 8-way rounds (docs/serving.md, healthy-tunnel re-measurement).
+        request_queue_size = 128
+
+    return Server((host, port), Handler)
 
 
 def main(argv=None):
