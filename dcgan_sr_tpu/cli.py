@@ -92,10 +92,9 @@ def build_data(cfg, args):
 
     # indexed / synthetic path (sequential file order like train-gray-3)
     if getattr(args, "textured", False):
-        src = TexturedImages(cfg.fineSize, nc=1 if cfg.nc == 1 else cfg.nc,
-                             seed=1234)  # fixed seed: a *fixture* set
+        src = TexturedImages(cfg.fineSize, nc=cfg.nc, seed=1234)  # fixed seed: a *fixture* set
     elif args.synthetic or cfg.dataset == "synthetic":
-        src = SyntheticImages(cfg.fineSize, nc=1 if cfg.nc == 1 else cfg.nc,
+        src = SyntheticImages(cfg.fineSize, nc=cfg.nc,
                               seed=cfg.manualSeed or 1234)
     else:
         from .data.indexed import DEFAULT_ROUTE
@@ -450,14 +449,15 @@ def main(argv=None):
                 cfg, state.g_params, state.g_state, loader,
                 range(args.eval_sets), sr_fn=sr,
             ).print_reference_style("Train-set")
+            ts = cfg.test_file_set_start
             evaluate_overlap_slice(
                 cfg, state.g_params, state.g_state, loader,
-                range(10000, 10000 + args.eval_sets), sr_fn=sr,
+                range(ts, ts + args.eval_sets), sr_fn=sr,
             ).print_reference_style("Test-set")
             if state.g_ema_params is not None:
                 evaluate_overlap_slice(
                     cfg, state.g_ema_params, state.g_state, loader,
-                    range(10000, 10000 + args.eval_sets), sr_fn=sr,
+                    range(ts, ts + args.eval_sets), sr_fn=sr,
                 ).print_reference_style("Test-set-EMA")
         else:
             gen = make_generator_fn(cfg, self_ensemble=args.self_ensemble,
@@ -465,10 +465,9 @@ def main(argv=None):
             train_res = evaluate_slice(cfg, gen, state.g_params, state.g_state,
                                        loader, range(args.eval_sets))
             train_res.print_reference_style("Train-set")
-            # test slices: file_set 10000+ for the patch protocol
-            # (train-gray-patch-batch.lua:489), 2000+ otherwise
-            # (train-gray-3.lua:449, images 200,001+)
-            test_start = 10000 if cfg.patch_based else 2000
+            # test slice base depends on the variant's file-addressing
+            # batch (config.test_file_set_start)
+            test_start = cfg.test_file_set_start
             test_res = evaluate_slice(cfg, gen, state.g_params, state.g_state,
                                       loader,
                                       range(test_start, test_start + args.eval_sets))

@@ -235,8 +235,14 @@ class _Writer:
                             ("torch.ByteTensor", np.uint8))}
         name = dtype_to_tensor[arr.dtype]
         self.write_int(_TTORCH)
+        # heap memo, like dicts/T7Objects: an array referenced twice in the
+        # object graph (shared weights) back-references one heap entry, so
+        # the reader (and real Torch) reconstructs the shared identity
+        if id(arr) in self.memo:
+            self.write_int(self.memo[id(arr)])
+            return
+        self.memo[id(arr)] = self.next_index
         self.write_int(self.next_index)
-        tensor_idx = self.next_index
         self.next_index += 1
         self.write_string("V 1")
         self.write_string(name)
@@ -256,7 +262,6 @@ class _Writer:
         self.write_string(_TENSOR_TO_STORAGE[name])
         self.write_long(arr.size)
         self.f.write(arr.tobytes())
-        del tensor_idx
 
 
 def save_t7(path, obj):

@@ -122,6 +122,16 @@ class Config:
         return self.patchSize if self.patch_based else self.fineSize
 
     @property
+    def test_file_set_start(self) -> int:
+        """Held-out eval slice base, in file_set units of batchSize images
+        (file_num = file_set * batchSize + k, e.g. overlap:247). The
+        patch-BATCH protocol (20 images/step) starts at file_set 10000 =
+        images 200,001+ (train-gray-patch-batch.lua:489); every other
+        variant at 2000 — images 200,001+ at batch 100 (train-gray-3.lua:449)
+        and 128,001+ at gray-patch's batch 64 (train-gray-patch.lua:453)."""
+        return 10000 if self.images_per_step == 20 else 2000
+
+    @property
     def overlap_patch_line(self) -> int:
         """Overlapping patches per row at stride=overlap
         ((fineSize - overlap) / (patchSize - overlap), overlap:387)."""
@@ -194,14 +204,35 @@ VARIANTS = {
 }
 
 
+_ENV_TRUE = ("1", "true", "yes", "on")
+_ENV_FALSE = ("0", "false", "no", "off", "")
+
+
 def apply_env_overrides(cfg: Config, env=None) -> Config:
     """Reference parity: every opt key can be overridden by an env var of the
-    same name, numbers parsed first (train.lua:26)."""
+    same name, numbers parsed first (train.lua:26).
+
+    Boolean fields (all TPU-side extensions — the reference opt table has
+    none) parse true/false spellings strictly: with the reference's
+    tonumber-or-string rule, ``use_pallas=false`` would store the truthy
+    string 'false' and silently ENABLE the flag."""
     env = os.environ if env is None else env
     updates = {}
     for f in dataclasses.fields(Config):
         raw = env.get(f.name)
         if raw is None:
+            continue
+        if f.type == "bool":
+            low = raw.strip().lower()
+            if low in _ENV_TRUE:
+                val = True
+            elif low in _ENV_FALSE:
+                val = False
+            else:
+                raise ValueError(
+                    f"env override {f.name}={raw!r} is not a boolean "
+                    f"(use one of {_ENV_TRUE + _ENV_FALSE})")
+            updates[f.name] = val
             continue
         try:
             val = float(raw)

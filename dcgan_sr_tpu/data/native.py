@@ -136,6 +136,10 @@ class NativeIndexedLoader:
             h = self._lib.dsr_loader_create(
                 self.route.encode(), self.nc, self.fine_size, batch_size,
                 self._n_threads)
+            if not h:  # NULL c_void_p: fail loudly, not with a C segfault
+                raise RuntimeError(
+                    f"dsr_loader_create failed (route={self.route!r}, "
+                    f"nc={self.nc}, batch={batch_size})")
             self._handles[batch_size] = h
         return h
 

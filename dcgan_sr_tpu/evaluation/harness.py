@@ -79,6 +79,25 @@ class OverlapEvalResult:
                f"{self.ssim_seam:.8f}, train-Size: {n}")
 
 
+_OVERLAP_SCORE_CACHE: dict = {}
+
+
+def _overlap_score_fn(fine):
+    """One jitted program for the per-batch scoring: bilinear control +
+    all six PSNR/SSIM sums (otherwise each metric is its own eager dispatch —
+    ~2-3 ms RPC apiece over the axon tunnel, CLAUDE.md)."""
+    fn = _OVERLAP_SCORE_CACHE.get(fine)
+    if fn is None:
+        def run(hr, naive, seam):
+            bil = resize_bilinear(box_downsample2(hr), fine, fine)
+            imgs = (bil, naive, seam)
+            return jnp.stack(
+                [cal_psnr_batch(hr, img).sum() for img in imgs]
+                + [cal_ssim_batch(hr, img).sum() for img in imgs])
+        fn = _OVERLAP_SCORE_CACHE[fine] = jax.jit(run)
+    return fn
+
+
 def evaluate_overlap_slice(cfg, params, state, loader, file_sets, *,
                            batch_size=None, bn_eval=False, sr_fn=None):
     """Mean PSNR/SSIM of bilinear / naive-stitch / seam-stitch over the given
@@ -88,21 +107,25 @@ def evaluate_overlap_slice(cfg, params, state, loader, file_sets, *,
     (train-gray-patch-batch-overlap.lua:377-704) scores exactly these three
     against the ground truth. Grayscale protocol (nc=1), like the reference.
 
-    `sr_fn` overrides the compiled pipeline (reuse across slices)."""
+    `sr_fn` overrides the compiled pipeline (reuse across slices).
+
+    `batch_size` defaults to cfg.batchSize: the reference addresses files as
+    file_num = file_set * batchSize + k (overlap:247), so the file_set
+    indices only name the protocol's slices (test = 10000+ -> images
+    200,001+ at batchSize 20, train-gray-patch-batch.lua:489) when the
+    batch matches. The committed textured protocol passes batch_size=100
+    explicitly (tools/overlap_protocol.py)."""
     from ..infer.tiled import make_overlap_sr_fn
 
-    batch_size = batch_size or 100
+    batch_size = batch_size or cfg.batchSize
     sr = sr_fn if sr_fn is not None else make_overlap_sr_fn(cfg, bn_eval=bn_eval)
-    fine = cfg.fineSize
+    score = _overlap_score_fn(cfg.fineSize)
     tot = np.zeros(6)
     n = 0
     for fs in file_sets:
         hr = jnp.asarray(loader.load_batch(fs, batch_size))[:, 0]  # (B, H, W)
         out = sr(params, state, hr)
-        bil = resize_bilinear(box_downsample2(hr), fine, fine)
-        for i, img in enumerate((bil, out["naive"], out["seam"])):
-            tot[i] += float(cal_psnr_batch(hr, img).sum())
-            tot[3 + i] += float(cal_ssim_batch(hr, img).sum())
+        tot += np.asarray(score(hr, out["naive"], out["seam"]))
         n += int(hr.shape[0])
     return OverlapEvalResult(
         psnr_bilinear=tot[0] / n, psnr_naive=tot[1] / n, psnr_seam=tot[2] / n,

@@ -24,9 +24,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..image.patches import overlap_grid
-
-
 def _dp_paths(delta):
     """delta: (N, P, V) -> cumulative min-path table (N, P, V) via scan."""
     big = jnp.inf

@@ -20,13 +20,15 @@ from .step import TrainState
 _SAFE = re.compile(r"[^A-Za-z0-9_.-]+")
 
 
+def _key(path):
+    """Npz key for a tree path — the ON-DISK checkpoint key format; every
+    save/load site must build keys through this one helper."""
+    return "/".join(_SAFE.sub("_", str(p)) for p in path)
+
+
 def _flatten_with_paths(tree):
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
-    out = {}
-    for path, leaf in flat:
-        key = "/".join(_SAFE.sub("_", str(p)) for p in path)
-        out[key] = np.asarray(leaf)
-    return out
+    return {_key(path): np.asarray(leaf) for path, leaf in flat}
 
 
 def checkpoint_path(directory, name, epoch, net):
@@ -49,8 +51,7 @@ def load_branch(data, key, template):
     """Restore ONE branch of a saved net npz into `template`'s tree structure
     (float32 leaves). `data` is an open np.load handle."""
     flat, treedef = jax.tree_util.tree_flatten_with_path({key: template})
-    new = [np.asarray(data["/".join(_SAFE.sub("_", str(p)) for p in path)],
-                      np.float32) for path, _ in flat]
+    new = [np.asarray(data[_key(path)], np.float32) for path, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, new)[key]
 
 
@@ -109,7 +110,7 @@ def load_checkpoint(directory, name, epoch, template: TrainState,
         flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
         leaves = []
         for path, leaf in flat:
-            key = "/".join(_SAFE.sub("_", str(p)) for p in path)
+            key = _key(path)
             arr = data[key]
             if arr.shape != np.shape(leaf):
                 raise ValueError(f"shape mismatch for {key}: "

@@ -57,8 +57,11 @@ def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
         multi_step_fn = jit_multi_step(cfg)
     niter = niter if niter is not None else cfg.niter
     if steps_per_epoch is None:
-        ntrain = cfg.ntrain if np.isfinite(cfg.ntrain) else cfg.batchSize
-        steps_per_epoch = max(int(ntrain) // cfg.batchSize, 1)
+        # ntrain counts IMAGES; patch variants consume images_per_step images
+        # per step (batchSize counts patches there) — same math as cli.py
+        imgs = cfg.images_per_step if cfg.patch_based else cfg.batchSize
+        ntrain = cfg.ntrain if np.isfinite(cfg.ntrain) else imgs
+        steps_per_epoch = max(int(ntrain) // imgs, 1)
     own_logger = logger is None
     if own_logger:
         logger = MetricsLogger(log_fn=log_fn)

@@ -77,3 +77,37 @@ def test_device_augment_implies_preprocess_even_via_env(monkeypatch):
     monkeypatch.setenv("device_preprocess", "0")
     cfg = get_config("rgb-full")
     assert cfg.device_augment and cfg.device_preprocess
+
+
+def test_env_override_bool_spellings():
+    """Boolean fields parse true/false spellings strictly: the reference's
+    tonumber-or-string rule would store 'false' as a truthy string and
+    silently ENABLE the flag (these fields are all TPU-side extensions —
+    the reference opt table has no booleans)."""
+    for spelling in ("0", "false", "FALSE", "no", "off"):
+        out = apply_env_overrides(Config(use_pallas=True),
+                                  env={"use_pallas": spelling})
+        assert out.use_pallas is False, spelling
+    for spelling in ("1", "true", "True", "yes", "on"):
+        out = apply_env_overrides(Config(), env={"use_pallas": spelling})
+        assert out.use_pallas is True, spelling
+    with pytest.raises(ValueError):
+        apply_env_overrides(Config(), env={"device_preprocess": "maybe"})
+
+
+def test_test_file_set_start_per_variant():
+    """Held-out slice base follows the variant's file-addressing batch:
+    file_num = file_set * batchSize + k (overlap:247), so the patch-BATCH
+    protocol's 10000 (= images 200,001+ at batch 20,
+    train-gray-patch-batch.lua:489) is WRONG for every other batch size."""
+    assert get_config("gray-patch-batch",
+                      env_override=False).test_file_set_start == 10000
+    assert get_config("gray-patch-batch-overlap",
+                      env_override=False).test_file_set_start == 10000
+    # gray-patch evals ONE image/step (batchSize counts its 64 patches);
+    # its commented-out reference eval used file_set 2000
+    # (train-gray-patch.lua:453)
+    assert get_config("gray-patch",
+                      env_override=False).test_file_set_start == 2000
+    for v in ("gray-3", "gray", "gray-2", "rgb-full"):
+        assert get_config(v, env_override=False).test_file_set_start == 2000

@@ -60,3 +60,34 @@ def test_short_final_batch_does_not_skew_means():
                         batch_size=8)
     want = (r0.psnr_bilinear * 8 + r1.psnr_bilinear * 3) / 11
     np.testing.assert_allclose(r.psnr_bilinear, want, rtol=1e-6)
+
+
+def test_overlap_slice_default_batch_is_cfg_batch():
+    """evaluate_overlap_slice's default batch must be cfg.batchSize: the
+    reference addresses files as file_set * batchSize + k (overlap:247), so
+    file_set 10000 only names the held-out images 200,001+ at the overlap
+    variant's batchSize 20 (train-gray-patch-batch.lua:489). A batch-100
+    default silently aimed the CLI's test slice at images 1,000,001+ —
+    beyond CelebA's 202,599 files."""
+    from dcgan_sr_tpu.evaluation.harness import evaluate_overlap_slice
+
+    cfg = get_config("gray-patch-batch-overlap", env_override=False)
+    calls = []
+
+    class Loader:
+        def load_batch(self, fs, batch_size):
+            calls.append((fs, batch_size))
+            return np.random.RandomState(fs).rand(
+                batch_size, 1, cfg.fineSize, cfg.fineSize).astype(np.float32)
+
+    def sr_stub(params, state, hr):
+        return {"naive": hr, "seam": hr}
+
+    res = evaluate_overlap_slice(cfg, None, None, Loader(), [10000],
+                                 sr_fn=sr_stub)
+    assert calls == [(10000, cfg.batchSize)] and cfg.batchSize == 20
+    assert res.n_images == 20
+    # identity 'SR' scores PSNR 99 (the MSE=0 clamp) for naive and seam
+    assert res.psnr_naive == pytest.approx(99.0)
+    assert res.psnr_seam == pytest.approx(99.0)
+    assert res.psnr_bilinear < 99.0

@@ -207,3 +207,24 @@ def test_save_checkpoint_atomic(tmp_path):
         f.write(b"PK\x03\x04 truncated")
     assert latest_epoch(str(tmp_path), cfg.name) == 1
     load_checkpoint(str(tmp_path), cfg.name, 1, st)
+
+
+def test_train_epochs_default_steps_counts_images_per_step():
+    """With no explicit steps_per_epoch, the loop must derive it from IMAGES
+    per step, not batchSize: gray-patch's batchSize (64) counts patches from
+    ONE image, so ntrain images = ntrain steps (train-gray-patch.lua:21) —
+    dividing by 64 would silently train on ~1.6% of each epoch."""
+    from dcgan_sr_tpu.train import train_epochs
+
+    cfg = get_config("gray-patch", env_override=False, ntrain=3, **TINY)
+    assert cfg.images_per_step == 1 and cfg.batchSize == 64
+    rng = np.random.RandomState(3)
+    seen = []
+
+    def batch_fn(epoch, i):
+        seen.append((epoch, i))
+        return rng.rand(cfg.step_batch, 1, 8, 8).astype(np.float32)
+
+    state = init_train_state(cfg, jax.random.PRNGKey(2))
+    train_epochs(cfg, state, batch_fn, niter=1, log_fn=lambda *a, **k: None)
+    assert [i for _, i in seen] == [0, 1, 2]  # 3 images -> 3 one-image steps

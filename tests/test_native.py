@@ -119,3 +119,21 @@ def test_save_display_through_native(built, tmp_path):
     save_display(p, np.full((8, 8), -1.0, np.float32))
     out = pil_load(p, nc=1, dtype="byte")
     assert int(out.max()) == 0
+
+
+def test_null_loader_handle_raises_cleanly():
+    """A NULL dsr_loader_create return must raise RuntimeError, not get
+    passed to dsr_loader_load_batch as the handle (NULL deref segfault)."""
+
+    class StubLib:
+        def dsr_loader_create(self, *a):
+            return None  # ctypes c_void_p restype maps NULL to None
+
+    loader = native.NativeIndexedLoader.__new__(native.NativeIndexedLoader)
+    loader._lib = StubLib()
+    loader.route = "/nonexistent"
+    loader.fine_size, loader.nc = 64, 1
+    loader._handles, loader._n_threads = {}, 2
+    with pytest.raises(RuntimeError, match="dsr_loader_create failed"):
+        loader._handle(batch_size=4)
+    assert loader._handles == {}  # a failed create is never cached

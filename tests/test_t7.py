@@ -39,6 +39,23 @@ def test_t7_nested_and_shared(tmp_path):
     np.testing.assert_array_equal(back["a"]["w"], shared["w"])
 
 
+def test_t7_shared_tensor_writes_one_heap_object(tmp_path):
+    """A tensor referenced twice (shared weights) must back-reference ONE
+    heap entry, like tables do — real Torch preserves the shared identity."""
+    p = str(tmp_path / "s.t7")
+    w = np.random.RandomState(1).rand(4, 3).astype(np.float32)
+    save_t7(p, {"m1": {"weight": w}, "m2": {"weight": w}})
+    back = load_t7(p)
+    assert back["m1"]["weight"] is back["m2"]["weight"]
+    np.testing.assert_array_equal(back["m1"]["weight"], w)
+    # the back-reference also shrinks the file: two copies would carry the
+    # raw bytes twice
+    import os
+    single = str(tmp_path / "one.t7")
+    save_t7(single, {"m1": {"weight": w}, "m2": {"weight": w.copy()}})
+    assert os.path.getsize(p) < os.path.getsize(single)
+
+
 def test_t7_torch_object_roundtrip(tmp_path):
     p = str(tmp_path / "o.t7")
     m = T7Object("nn.SpatialConvolution",

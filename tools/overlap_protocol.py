@@ -31,8 +31,11 @@ def main():
     ap.add_argument("--ckpt", required=True, help="…_net_G.npz checkpoint")
     ap.add_argument("--config", default="gray-patch-batch-overlap")
     ap.add_argument("--sets", default="10000:10005",
-                    help="a:b file_set slice (100 imgs each; 10000+ = "
-                         "held-out, train-gray-patch-batch.lua:489)")
+                    help="a:b file_set slice (100 imgs each — this tool's "
+                         "COMMITTED textured protocol; 10000+ = held out "
+                         "from the images 1..10000 training stream, "
+                         "mirroring train-gray-patch-batch.lua:489's "
+                         "500-image held-out split)")
     ap.add_argument("--ema", action="store_true",
                     help="score the EMA branch (checkpoint needs ema keys)")
     ap.add_argument("--bn-eval", action="store_true",
@@ -71,8 +74,11 @@ def main():
 
     src = TexturedImages(cfg.fineSize, nc=1, seed=1234)
     a, b = (int(x) for x in args.sets.split(":"))
+    # batch_size=100 is part of the COMMITTED textured protocol (every
+    # PARITY.md overlap row was measured at 100 images/set) — the harness
+    # default is cfg.batchSize (20), the reference's file-addressing unit
     res = evaluate_overlap_slice(cfg, params, g_state, src, range(a, b),
-                                 bn_eval=args.bn_eval)
+                                 bn_eval=args.bn_eval, batch_size=100)
     for name, psnr, ssim in (
             ("bilinear", res.psnr_bilinear, res.ssim_bilinear),
             ("naive-stitch", res.psnr_naive, res.ssim_naive),

@@ -102,8 +102,13 @@ def main():
         st = load_checkpoint(args.dir, cfg.name, best[0], template)
         final_params = st.g_ema_params if args.ema else st.g_params
         if cfg.patch_based:
-            # 500/500 patch protocol, test slice at file_set 10000
-            # (train-gray-patch-batch.lua:365-367,487-489)
+            # 500/500 split mirroring the reference's counts
+            # (train-gray-patch-batch.lua:365-367,487-489). NOTE: at this
+            # tool's batch_size=100 the file_set indices address DIFFERENT
+            # image numbers than the reference's batchSize-20 addressing —
+            # fine on the procedural textured set (any index renders, 10000+
+            # is held out from the images 1..10000 training stream), and
+            # these exact slices are the COMMITTED fixture-selection protocol
             slices = (("Train-set", range(0, 5)),
                       ("Test-set", range(10000, 10005)))
         else:
