@@ -118,7 +118,7 @@ def build_data(cfg, args):
             src = SyntheticImages(cfg.fineSize, nc=cfg.nc,
                                   seed=cfg.manualSeed or 1234)
 
-    imgs_per_step = cfg.images_per_step if cfg.patch_based else cfg.batchSize
+    imgs_per_step = cfg.images_consumed_per_step
 
     def batch_fn(epoch, i):
         hr = src.load_batch(i, imgs_per_step)  # (imgs, nc, fine, fine) [0,1]
@@ -403,7 +403,7 @@ def main(argv=None):
     if args.steps is not None:
         steps = args.steps
     else:
-        imgs = cfg.images_per_step if cfg.patch_based else cfg.batchSize
+        imgs = cfg.images_consumed_per_step
         ntrain = cfg.ntrain if math.isfinite(cfg.ntrain) else 1000
         steps = max(int(ntrain) // imgs, 1)
 

@@ -173,7 +173,12 @@ class _Writer:
     def __init__(self, f):
         self.f = f
         self.next_index = 1
-        self.memo: Dict[int, int] = {}  # id(obj) -> heap index
+        # id(obj) -> (heap index, obj). Holding the object itself keeps it
+        # alive for the duration of the save: without the reference, a freed
+        # temporary's id can be REUSED by a later object and serialize as a
+        # false back-reference (the same reason pickle's memo stores the
+        # object alongside its index)
+        self.memo: Dict[int, tuple] = {}
 
     def write_int(self, v):
         self.f.write(struct.pack("<i", v))
@@ -201,9 +206,9 @@ class _Writer:
         elif isinstance(obj, dict):
             self.write_int(_TTABLE)
             if id(obj) in self.memo:
-                self.write_int(self.memo[id(obj)])
+                self.write_int(self.memo[id(obj)][0])
                 return
-            self.memo[id(obj)] = self.next_index
+            self.memo[id(obj)] = (self.next_index, obj)
             self.write_int(self.next_index)
             self.next_index += 1
             self.write_int(len(obj))
@@ -215,9 +220,9 @@ class _Writer:
         elif isinstance(obj, T7Object):
             self.write_int(_TTORCH)
             if id(obj) in self.memo:
-                self.write_int(self.memo[id(obj)])
+                self.write_int(self.memo[id(obj)][0])
                 return
-            self.memo[id(obj)] = self.next_index
+            self.memo[id(obj)] = (self.next_index, obj)
             self.write_int(self.next_index)
             self.next_index += 1
             self.write_string("V 1")
@@ -239,9 +244,9 @@ class _Writer:
         # object graph (shared weights) back-references one heap entry, so
         # the reader (and real Torch) reconstructs the shared identity
         if id(arr) in self.memo:
-            self.write_int(self.memo[id(arr)])
+            self.write_int(self.memo[id(arr)][0])
             return
-        self.memo[id(arr)] = self.next_index
+        self.memo[id(arr)] = (self.next_index, arr)
         self.write_int(self.next_index)
         self.next_index += 1
         self.write_string("V 1")

@@ -122,14 +122,23 @@ class Config:
         return self.patchSize if self.patch_based else self.fineSize
 
     @property
+    def images_consumed_per_step(self) -> int:
+        """IMAGES drawn from the dataset per train step. Patch variants
+        expand each image into patch_number tiles, so batchSize counts TILES
+        there and images_per_step (default 1) counts the images."""
+        return (self.images_per_step or 1) if self.patch_based else self.batchSize
+
+    @property
     def test_file_set_start(self) -> int:
         """Held-out eval slice base, in file_set units of batchSize images
-        (file_num = file_set * batchSize + k, e.g. overlap:247). The
-        patch-BATCH protocol (20 images/step) starts at file_set 10000 =
-        images 200,001+ (train-gray-patch-batch.lua:489); every other
-        variant at 2000 — images 200,001+ at batch 100 (train-gray-3.lua:449)
-        and 128,001+ at gray-patch's batch 64 (train-gray-patch.lua:453)."""
-        return 10000 if self.images_per_step == 20 else 2000
+        (file_num = file_set * batchSize + k, e.g. overlap:247). Keyed on the
+        VARIANT (not any overridable knob): the patch-BATCH protocol starts
+        at file_set 10000 = images 200,001+ at its batchSize 20
+        (train-gray-patch-batch.lua:489); every other variant at 2000 —
+        images 200,001+ at batch 100 (train-gray-3.lua:449) and 128,001+ at
+        gray-patch's batch 64 (train-gray-patch.lua:453)."""
+        return 10000 if self.variant in ("gray-patch-batch",
+                                         "gray-patch-batch-overlap") else 2000
 
     @property
     def overlap_patch_line(self) -> int:

@@ -57,9 +57,9 @@ def train_epochs(cfg, state: TrainState, batch_fn, *, step_fn=None, niter=None,
         multi_step_fn = jit_multi_step(cfg)
     niter = niter if niter is not None else cfg.niter
     if steps_per_epoch is None:
-        # ntrain counts IMAGES; patch variants consume images_per_step images
-        # per step (batchSize counts patches there) — same math as cli.py
-        imgs = cfg.images_per_step if cfg.patch_based else cfg.batchSize
+        # ntrain counts IMAGES (config.images_consumed_per_step; cli.py uses
+        # the same property with its own synthetic-length inf fallback)
+        imgs = cfg.images_consumed_per_step
         ntrain = cfg.ntrain if np.isfinite(cfg.ntrain) else imgs
         steps_per_epoch = max(int(ntrain) // imgs, 1)
     own_logger = logger is None

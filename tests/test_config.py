@@ -111,3 +111,7 @@ def test_test_file_set_start_per_variant():
                       env_override=False).test_file_set_start == 2000
     for v in ("gray-3", "gray", "gray-2", "rgb-full"):
         assert get_config(v, env_override=False).test_file_set_start == 2000
+    # the base is keyed on the VARIANT: overriding the (freely overridable)
+    # images_per_step knob must not silently move the held-out slice
+    cfg = get_config("gray-patch-batch", env_override=False, images_per_step=10)
+    assert cfg.test_file_set_start == 10000

@@ -64,7 +64,7 @@ def main():
     from dcgan_sr_tpu.train.checkpoint import latest_epoch, load_checkpoint
 
     cfg = get_config(args.config, **({"g_ema": 0.999} if args.ema else {}))
-    src = TexturedImages(cfg.fineSize, nc=1 if cfg.nc == 1 else cfg.nc,
+    src = TexturedImages(cfg.fineSize, nc=cfg.nc,
                          seed=1234)
     template = init_train_state(cfg, jax.random.PRNGKey(0))
 
