@@ -113,7 +113,10 @@ def index_dir(root):
         return []
     buf = ctypes.create_string_buffer(int(need))
     lib.dsr_index_dir(root.encode(), buf, need)
-    return buf.raw[:need].decode().splitlines()
+    # the C walk sorts entries per directory but pops its stack LIFO, so the
+    # concatenated order is not globally sorted — sort here to honor the
+    # documented contract (deterministic index -> file mapping)
+    return sorted(buf.raw[:need].decode().splitlines())
 
 
 class NativeIndexedLoader:

@@ -27,7 +27,10 @@
 #include <cstring>
 #include <dirent.h>
 #include <functional>
+#include <algorithm>
 #include <mutex>
+#include <set>
+#include <utility>
 #include <queue>
 #include <string>
 #include <sys/stat.h>
@@ -377,6 +380,16 @@ void dsr_loader_destroy(void* handle) {
 long long dsr_index_dir(const char* root, char* out_buf, long long cap) {
   std::vector<std::string> stack{root};
   std::string all;
+  // stat() follows symlinks, so a directory symlink cycle would loop the
+  // walk forever: track visited (device, inode) pairs and enter each
+  // directory once.
+  std::set<std::pair<unsigned long long, unsigned long long>> seen;
+  {
+    struct stat st;
+    if (!stack.empty() && stat(stack.back().c_str(), &st) == 0)
+      seen.insert({(unsigned long long)st.st_dev,
+                   (unsigned long long)st.st_ino});
+  }
   while (!stack.empty()) {
     std::string dir = stack.back();
     stack.pop_back();
@@ -394,14 +407,18 @@ long long dsr_index_dir(const char* root, char* out_buf, long long cap) {
       struct stat st;
       if (stat(full.c_str(), &st) != 0) continue;
       if (S_ISDIR(st.st_mode)) {
-        stack.push_back(full);
+        if (seen.insert({(unsigned long long)st.st_dev,
+                         (unsigned long long)st.st_ino}).second)
+          stack.push_back(full);
       } else {
         auto dot = name.rfind('.');
         if (dot == std::string::npos) continue;
         std::string ext = name.substr(dot);
         for (auto& ch : ext) ch = std::tolower(ch);
-        if (ext == ".jpg" || ext == ".jpeg" || ext == ".png" ||
-            ext == ".bmp" || ext == ".ppm") {
+        // only extensions decode_file can actually decode (JPEG/PNG
+        // magic): indexing .bmp/.ppm would hand the loader guaranteed
+        // decode failures
+        if (ext == ".jpg" || ext == ".jpeg" || ext == ".png") {
           all += full;
           all += '\n';
         }

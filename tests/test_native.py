@@ -137,3 +137,30 @@ def test_null_loader_handle_raises_cleanly():
     with pytest.raises(RuntimeError, match="dsr_loader_create failed"):
         loader._handle(batch_size=4)
     assert loader._handles == {}  # a failed create is never cached
+
+
+def test_native_index_dir_sorted_and_decodable_only(built, tmp_path):
+    """index_dir's contract is a globally SORTED list (deterministic
+    index -> file mapping) of extensions decode_file can actually decode;
+    the C walk's LIFO stack visits subdirs in reverse order, and .bmp/.ppm
+    would be guaranteed decode failures."""
+    for d in ("a", "b", "c"):
+        (tmp_path / d).mkdir()
+        _make_pngs(tmp_path / d, n=1)
+    (tmp_path / "a" / "skip.bmp").write_bytes(b"BM fake")
+    (tmp_path / "b" / "skip.ppm").write_bytes(b"P6 fake")
+    paths = native.index_dir(str(tmp_path))
+    assert paths == sorted(paths)
+    assert len(paths) == 3 and all(p.endswith(".png") for p in paths)
+
+
+def test_native_index_dir_symlink_cycle_terminates(built, tmp_path):
+    """A directory symlink cycle (child -> ancestor) must not loop the walk
+    forever: each (device, inode) directory is entered once."""
+    _make_pngs(tmp_path, n=2)
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    _make_pngs(sub, n=1)
+    os.symlink(str(tmp_path), str(sub / "loop"))
+    paths = native.index_dir(str(tmp_path))
+    assert len(paths) == 3  # each real file indexed exactly once

@@ -433,3 +433,98 @@ def test_serve_load_driver(service):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_submit_many_chunks_to_max_batch(service):
+    """A single oversized submit_many must dispatch in max_batch-sized
+    chunks: one n>max_batch batch pads to the NEXT power of two — an
+    unplanned program compile stalling every co-batched request."""
+    rng = np.random.RandomState(41)
+    imgs = [rng.rand(16, 16).astype(np.float32) for _ in range(6)]
+    sizes = []
+    orig = service._run_batch
+
+    def spy(items):
+        sizes.append(sum(len(it["imgs"]) for it in items))
+        return orig(items)
+
+    service._run_batch = spy
+    try:
+        out = service.submit_many(imgs)
+    finally:
+        service._run_batch = orig
+    assert len(out) == 6 and all(o.shape == (32, 32) for o in out)
+    assert sizes and max(sizes) <= service.max_batch
+
+
+def test_coalescer_never_overshoots_max_batch(service):
+    """Two concurrent multi-image requests whose sum exceeds max_batch must
+    dispatch separately (requeue), not as one over-bucket batch."""
+    rng = np.random.RandomState(42)
+    sizes = []
+    orig = service._run_batch
+
+    def spy(items):
+        sizes.append(sum(len(it["imgs"]) for it in items))
+        return orig(items)
+
+    service._run_batch = spy
+    try:
+        outs = [None, None]
+
+        def post(i):
+            outs[i] = service.submit_many(
+                [rng.rand(16, 16).astype(np.float32) for _ in range(3)])
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        service._run_batch = orig
+    assert all(len(o) == 3 for o in outs)
+    assert max(sizes) <= service.max_batch
+
+
+def test_http_internal_dispatch_failure_is_500(service):
+    """An internal dispatch failure (e.g. a wedged tunnel) must surface as
+    HTTP 500, not 400 — clients/monitors treat 400 as a caller bug and
+    never retry or alert."""
+    from PIL import Image
+
+    httpd = make_http_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    orig = service.submit
+    service.submit = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("backend wedged"))
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((8, 8), np.uint8), mode="L").save(
+            buf, format="PNG")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/upscale", body=buf.getvalue(),
+                     headers={"Content-Type": "image/png"})
+        resp = conn.getresponse()
+        assert resp.status == 500
+        assert b"backend wedged" in resp.read()
+    finally:
+        service.submit = orig
+        httpd.shutdown()
+
+
+def test_warmup_default_covers_single_and_full_batch():
+    """warmup()'s default batch set is (1, max_batch): both the single
+    request AND the fully coalesced burst are compile-cache hits."""
+    cfg = get_config("gray-3", env_override=False, fineSize=16, **TINY)
+    st = init_train_state(cfg, jax.random.PRNGKey(4))
+    svc = SRService(cfg, st.g_params, st.g_state, max_size=12, max_batch=2,
+                    window_ms=5.0)
+    try:
+        svc.warmup()
+        # square pairs x two modes x two batch sizes, one dispatch each
+        assert svc.stats["batches"] == len(svc.buckets) * 2 * 2
+    finally:
+        svc.close()

@@ -35,9 +35,10 @@ Endpoints:
 Static shapes are an XLA requirement, not an implementation detail: each
 input dimension is edge-padded to a small ladder of pipeline-legal bucket
 extents (PER dimension — non-square inputs don't pay square padding) and
-batches to power-of-two sizes; --warmup precompiles the square pairs
-(rectangular pairs compile lazily on first hit; --warmup-rect precompiles
-those too), so the steady-state program count stays small and every repeat
+batches to power-of-two sizes; --warmup precompiles the square pairs at
+batch 1 AND max_batch (rectangular pairs and intermediate power-of-two
+batches compile lazily on first hit; --warmup-rect precompiles the rect
+pairs too), so the steady-state program count stays small and every repeat
 shape is a cache hit.
 """
 
@@ -107,6 +108,7 @@ class SRService:
         self._fns = {}            # (bh, bw, mode) -> jitted pipeline
         self._q = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "errors": 0}
+        self._stats_lock = threading.Lock()  # handler threads + dispatcher
         self._lat_ms = []         # last N batch dispatch latencies (host wall)
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
@@ -200,13 +202,17 @@ class SRService:
 
         return jax.jit(g)
 
-    def warmup(self, batch_sizes=(1,), rect=False):
+    def warmup(self, batch_sizes=None, rect=False):
         """Precompile the SQUARE (bucket, mode, batch) programs so typical
         requests never wait on the tunnel compile; with rect=True, ALL
         (bh, bw) ladder pairs (O(buckets^2) programs — each is a 1-3 min
         tunnel compile cold, so opt-in) so the first non-square request is
-        a cache hit too.  Runs ON the dispatcher queue so the single-client
-        discipline holds."""
+        a cache hit too.  batch_sizes defaults to (1, max_batch): singles
+        AND full coalesced bursts are cache hits (intermediate power-of-two
+        batches still compile lazily on first hit).  Runs ON the dispatcher
+        queue so the single-client discipline holds."""
+        if batch_sizes is None:
+            batch_sizes = (1,) if self.max_batch == 1 else (1, self.max_batch)
         shape = (self.cfg.nc,) if self.cfg.nc != 1 else ()
         pairs = ([(bh, bw) for bh in self.buckets for bw in self.buckets]
                  if rect else [(b, b) for b in self.buckets])
@@ -216,6 +222,12 @@ class SRService:
                     sh, sw = (bh, bw) if mode == "2x" else (2 * bh, 2 * bw)
                     img = np.zeros(shape + (sh, sw), np.float32)
                     self.submit_many([img] * n, mode)
+
+    def _count(self, key, n=1):
+        """Thread-safe stats increment: bare `+= 1` from concurrent HTTP
+        handler threads loses counts (load/add/store across bytecodes)."""
+        with self._stats_lock:
+            self.stats[key] += n
 
     # -- request path ---------------------------------------------------------
 
@@ -229,8 +241,17 @@ class SRService:
             for im in imgs:
                 self._validate(im, mode)
         except ValueError:
-            self.stats["errors"] += 1    # rejected requests stay visible
+            self._count("errors")        # rejected requests stay visible
             raise                        # on the /healthz errors counter
+        if len(imgs) > self.max_batch:
+            # an oversized request must not defeat the power-of-two batch
+            # bucketing (a batch > max_batch pads to the NEXT power of two —
+            # an unplanned 1-3 min tunnel compile stalling every co-batched
+            # request): dispatch it in max_batch-sized chunks
+            out = []
+            for i in range(0, len(imgs), self.max_batch):
+                out.extend(self.submit_many(imgs[i:i + self.max_batch], mode))
+            return out
         done = threading.Event()
         item = {"imgs": imgs, "mode": mode, "done": done}
         self._q.put(item)
@@ -250,7 +271,9 @@ class SRService:
             # max_batch images, same mode only (different programs)
             deadline = time.monotonic() + self.window_s
             requeue = []
-            while sum(len(i["imgs"]) for i in items) < self.max_batch:
+            saw_none = False
+            count = len(items[0]["imgs"])
+            while count < self.max_batch:
                 tmo = deadline - time.monotonic()
                 if tmo <= 0:
                     break
@@ -259,18 +282,27 @@ class SRService:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    self._q.put(None)
+                    saw_none = True     # re-put AFTER the requeued items
                     break
-                if nxt["mode"] == items[0]["mode"]:
+                if (nxt["mode"] == items[0]["mode"]
+                        and count + len(nxt["imgs"]) <= self.max_batch):
                     items.append(nxt)
+                    count += len(nxt["imgs"])
                 else:
+                    # different program (mode) or would overflow the batch
+                    # bucket: next dispatch picks it up
                     requeue.append(nxt)
+            # requeue BEFORE any shutdown sentinel: items put behind the
+            # re-put None would be abandoned and their submitters would
+            # block forever on done.wait()
             for r in requeue:
                 self._q.put(r)
+            if saw_none:
+                self._q.put(None)
             try:
                 self._run_batch(items)
             except Exception as e:  # fail the requests, not the server
-                self.stats["errors"] += len(items)
+                self._count("errors", len(items))
                 for it in items:
                     it["error"] = e
                     it["done"].set()
@@ -314,8 +346,8 @@ class SRService:
             sr = (sr + 1.0) * 0.5
         if not self.tiled and self.cfg.nc == 1:
             sr = sr[:, 0]
-        self.stats["requests"] += n
-        self.stats["batches"] += 1
+        self._count("requests", n)
+        self._count("batches")
         k = 0
         for it in items:
             res = []
@@ -379,12 +411,14 @@ def make_http_server(service, port=8000, host="127.0.0.1"):
                 nc = service.cfg.nc
                 img = load_image(io.BytesIO(self.rfile.read(length)), nc=nc)
             except Exception as e:      # undecodable bytes: count + reject
-                service.stats["errors"] += 1
+                service._count("errors")
                 return self._json(400, {"error": str(e)})
             try:                        # submit counts its own rejections
                 sr = service.submit(img[0] if nc == 1 else img, mode)
-            except Exception as e:
+            except ValueError as e:     # rejected input (size/channels)
                 return self._json(400, {"error": str(e)})
+            except Exception as e:      # internal dispatch failure (e.g. a
+                return self._json(500, {"error": str(e)})  # wedged tunnel)
             from PIL import Image
             out8 = (np.clip(np.round(np.asarray(sr) * 255.0), 0, 255)
                     .astype(np.uint8))

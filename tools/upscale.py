@@ -85,8 +85,8 @@ def batch_upscale(args, cfg, g_params, g_state):
         mesh = create_mesh(ndev)
         pad_n = (-n) % ndev              # shardable image count
         if pad_n:
-            reps = np.concatenate([batch] * (1 + pad_n // n))
-            batch = np.concatenate([batch, reps[:pad_n]])
+            # modular row indexing: pad_n rows, no transient full copies
+            batch = np.concatenate([batch, batch[np.arange(pad_n) % n]])
     if tiled:
         fine = (2 * Hp, 2 * Wp) if args.true_2x else (Hp, Wp)
         ov_fn = make_overlap_sr_fn(cfg, mesh=mesh, fine=fine,
